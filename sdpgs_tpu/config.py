@@ -1,0 +1,160 @@
+"""Typed configuration (dataclasses + JSON), replacing the reference's
+reflection-based argparse groups (reference/arguments/__init__.py:19-146) and
+its ``eval()``-based saved-config merge (an injection-prone pattern the
+rebuild drops in favor of JSON round-trips).
+
+Default values mirror the reference's OptimizationParams / ModelParams /
+PipelineParams (reference/arguments/__init__.py:47-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RasterizeConfig:
+    """Static geometry of the TPU tile rasterizer.
+
+    The reference sizes everything dynamically per step
+    (rasterize_points.cu:27-33 resize callbacks); TPU needs static shapes, so
+    capacity knobs live here. Overflows are counted and reported, never
+    silent.
+    """
+
+    tile: int = 16                  # tile edge in pixels (reference config.h:15-16)
+    max_per_tile: int = 512         # K: max composited Gaussians per tile
+    max_tiles_per_gaussian: int = 32  # D: per-Gaussian tile-rect capacity
+    chunk: int = 32                 # compositing chunk (K % chunk == 0)
+    alpha_min: float = 1.0 / 255.0  # skip threshold (forward.cu:344)
+    alpha_max: float = 0.99         # clamp (forward.cu:343)
+    transmittance_min: float = 1e-4  # early-stop threshold (forward.cu:347)
+    near: float = 0.2               # frustum near cull (auxiliary.h:154)
+    low_pass: float = 0.3           # 2D cov dilation (forward.cu:110-111)
+    use_pallas: bool = True         # Pallas compositing kernel vs pure-XLA path
+
+
+@dataclass
+class ModelConfig:
+    """reference/arguments/__init__.py:47-64."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    language_features_name: str = "language_features_GGrouping_dim3"
+    resolution: int = 8
+    white_background: bool = False
+    eval: bool = True
+    nviews: int = 3
+    capacity: int = 1 << 17        # static Gaussian slot count (TPU-only knob)
+    init_points: int = 10_000      # random init size when no MVS cloud exists
+
+
+@dataclass
+class PipelineConfig:
+    """reference/arguments/__init__.py:66-72."""
+
+    convert_SHs_python: bool = True
+    compute_cov3D_python: bool = False
+    debug: bool = False
+    use_confidence: bool = False
+
+
+@dataclass
+class OptimizationConfig:
+    """reference/arguments/__init__.py:74-124 (same names and defaults)."""
+
+    iterations: int = 6_000
+    position_lr_init: float = 0.016
+    position_lr_final: float = 0.00016
+    position_lr_delay_mult: float = 0.01
+    position_lr_start: int = 500
+    position_lr_max_steps: int = 5500
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.003
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    prune_from_iter: int = 500
+    densify_until_iter: int = 6000
+    densify_grad_threshold: float = 0.0013
+    random_background: bool = False
+    include_feature: bool = True
+    language_feature_lr: float = 0.013
+    soft_depth_start: int = 1000
+    hard_depth_start: int = 0
+    error_tolerance: float = 0.2
+    depth_weight: float = 0.05
+    depth_weight_late: float = 0.001   # depth_weight after end_sample_pseudo (train.py:134)
+    depth_pseudo_weight: float = 0.5
+    shape_pena: float = 0.001
+    scale_pena: float = 0.001
+    opa_pena: float = 0.01
+    start_sample_pseudo: int = 2000
+    end_sample_pseudo: int = 5500
+    sample_pseudo_interval: int = 1
+    known_fl1: float = 1.0
+    known_fce: float = 0.01
+    known_fsm: float = 0.000001
+    novel_rgb_l1: float = 0.1
+    reproj_rgb: float = 0.01
+    prune_threshold: float = 0.01
+    dist_thres: float = 10.0
+    proximity_until_iter: int = 2000   # gaussian_model.py:598-599
+    test_iterations: Tuple[int, ...] = (1000, 2000, 3000, 5000, 10000)
+    save_iterations: Tuple[int, ...] = (5000, 10000)
+    checkpoint_iterations: Tuple[int, ...] = (5000, 10000)
+
+
+@dataclass
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    optim: OptimizationConfig = field(default_factory=OptimizationConfig)
+    raster: RasterizeConfig = field(default_factory=RasterizeConfig)
+    seed: int = 0                   # reference seeds all RNGs to 0 (general_utils.py:140-142)
+    views_per_batch: int = 1        # TPU data-parallel view batch (reference: 1)
+    mesh_data: int = 1              # device-mesh data axis size
+    mesh_model: int = 1             # device-mesh Gaussian-shard axis size
+
+
+def _to_dict(obj):
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def _from_dict(cls, data):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(cfg: TrainConfig, path: str | Path) -> None:
+    Path(path).write_text(json.dumps(_to_dict(cfg), indent=2))
+
+
+def load_config(path: str | Path) -> TrainConfig:
+    return _from_dict(TrainConfig, json.loads(Path(path).read_text()))

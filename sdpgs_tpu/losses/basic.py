@@ -1,0 +1,130 @@
+"""Photometric / statistical losses (parity with reference
+utils/loss_utils.py and utils/image_utils.py). Images are channel-first
+[C, H, W] to match the reference call sites."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """reference loss_utils.py:106."""
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l1_loss_mask(pred: jnp.ndarray, gt: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """reference loss_utils.py:109-113."""
+    if mask is None:
+        return l1_loss(pred, gt)
+    return jnp.sum(jnp.abs((pred - gt) * mask)) / jnp.sum(mask)
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def pearson_corrcoef(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Pearson correlation of two flattened arrays (torchmetrics parity)."""
+    x = x.reshape(-1)
+    y = y.reshape(-1)
+    xm = x - jnp.mean(x)
+    ym = y - jnp.mean(y)
+    denom = jnp.sqrt(jnp.sum(xm * xm) * jnp.sum(ym * ym))
+    return jnp.sum(xm * ym) / jnp.maximum(denom, eps)
+
+
+def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """[C, H, W] depthwise 2D convolution, SAME padding."""
+    C = img.shape[0]
+    w = jnp.broadcast_to(window[None, None, :, :], (C, 1, window.shape[0], window.shape[1]))
+    out = jax.lax.conv_general_dilated(
+        img[None],
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    """Windowed SSIM with 11x11 sigma-1.5 Gaussian window
+    (reference loss_utils.py:119-163). Images [C, H, W] in [0, 1]."""
+    if mask is not None:
+        img1 = img1 * mask + (1.0 - mask)
+        img2 = img2 * mask + (1.0 - mask)
+    g1 = _gaussian_window(window_size, 1.5)
+    window = jnp.outer(g1, g1)
+
+    mu1 = _depthwise_conv(img1, window)
+    mu2 = _depthwise_conv(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """reference utils/image_utils.py:14-22 (per-image mean over pixels)."""
+    if mask is None:
+        mse = jnp.mean((img1 - img2) ** 2)
+    else:
+        mse = jnp.sum(((img1 - img2) * mask) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def normalize_rows(x: jnp.ndarray, mean=None, std=None) -> jnp.ndarray:
+    """Row-wise standardization with a global-std floor
+    (reference loss_utils.py:164-167)."""
+    m = jnp.mean(x, axis=1, keepdims=True) if mean is None else mean
+    s = jnp.std(x, axis=1, keepdims=True) if std is None else std
+    return (x - m) / (s + 1e-2 * jnp.std(x.reshape(-1)))
+
+
+def patchify(img: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[1, H, W] -> [n_patches, patch_size^2] (reference loss_utils.py:175)."""
+    _, H, W = img.shape
+    ph, pw = H // patch_size, W // patch_size
+    x = img[0, : ph * patch_size, : pw * patch_size]
+    x = x.reshape(ph, patch_size, pw, patch_size)
+    return x.transpose(0, 2, 1, 3).reshape(ph * pw, patch_size * patch_size)
+
+
+def margin_l2_loss(pred: jnp.ndarray, gt: jnp.ndarray, margin: float) -> jnp.ndarray:
+    """Mean squared error over elements whose error exceeds ``margin``
+    (reference loss_utils.py:179-184)."""
+    err = pred - gt
+    m = (jnp.abs(err) > margin).astype(pred.dtype)
+    return jnp.sum(m * err * err) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def patch_norm_mse_loss(
+    pred: jnp.ndarray, gt: jnp.ndarray, patch_size: int, margin: float
+) -> jnp.ndarray:
+    """reference loss_utils.py:186-189."""
+    return margin_l2_loss(
+        normalize_rows(patchify(pred, patch_size)),
+        normalize_rows(patchify(gt, patch_size)),
+        margin,
+    )

@@ -1,0 +1,137 @@
+"""Per-Gaussian screen-space preprocessing (pure XLA, fully differentiable).
+
+Behavioral parity with reference cuda_rasterizer/forward.cu:74-256
+(``computeCov2D`` / ``preprocessCUDA``): EWA 2D covariance with the J*W
+Jacobian, 0.3 low-pass dilation, conic inversion, 3-sigma pixel radius, and
+near-plane culling at z <= 0.2 (auxiliary.h:139-164).
+
+Everything here is elementwise per Gaussian -> embarrassingly parallel; XLA
+fuses it into the surrounding graph, so no Pallas kernel is needed. The
+backward pass is JAX autodiff (the reference hand-writes it in
+backward.cu:144-396).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sdpgs_tpu.core.camera import Camera
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities, all [P, ...]."""
+
+    valid: jnp.ndarray    # [P] bool — survives culling, det != 0, radius > 0
+    mean2d: jnp.ndarray   # [P, 2] pixel-space center
+    depth: jnp.ndarray    # [P] view-space z
+    conic: jnp.ndarray    # [P, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray   # [P] 3-sigma screen radius (pixels, ceil)
+
+
+def ndc_to_pixel(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    """reference auxiliary.h:41-44."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_points(xyz: jnp.ndarray, cam: Camera) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """World points [P,3] -> (pixel xy [P,2], view-space z [P])."""
+    ones = jnp.ones_like(xyz[:, :1])
+    hom = jnp.concatenate([xyz, ones], axis=-1)
+    p_view = hom @ cam.view.T                       # [P, 4]
+    p_hom = hom @ cam.full_proj.T                   # [P, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :3] * p_w[:, None]
+    xy = jnp.stack(
+        [ndc_to_pixel(ndc[:, 0], cam.width), ndc_to_pixel(ndc[:, 1], cam.height)],
+        axis=-1,
+    )
+    return xy, p_view[:, 2]
+
+
+def ewa_cov2d(
+    xyz: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: Camera,
+    low_pass: float = 0.3,
+) -> jnp.ndarray:
+    """EWA projection of world covariance to 2D screen covariance.
+
+    Args:
+      xyz: [P, 3] world means.
+      cov3d: [P, 3, 3] world covariance.
+      cam: camera.
+
+    Returns [P, 3] packed (cov_xx, cov_xy, cov_yy), with low-pass dilation on
+    the diagonal (reference forward.cu:74-113).
+    """
+    ones = jnp.ones_like(xyz[:, :1])
+    t = (jnp.concatenate([xyz, ones], axis=-1) @ cam.view.T)[:, :3]  # view space
+
+    lim_x = 1.3 * cam.tan_fovx
+    lim_y = 1.3 * cam.tan_fovy
+    tz = t[:, 2]
+    tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
+    ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
+
+    fx, fy = cam.focal_x, cam.focal_y
+    zero = jnp.zeros_like(tz)
+    # J: d(pixel)/d(view) Jacobian of the perspective projection, rows = (u, v).
+    J = jnp.stack(
+        [
+            jnp.stack([fx / tz, zero, -(fx * tx) / (tz * tz)], axis=-1),
+            jnp.stack([zero, fy / tz, -(fy * ty) / (tz * tz)], axis=-1),
+        ],
+        axis=-2,
+    )  # [P, 2, 3]
+    W = cam.view[:3, :3]                            # world -> view rotation
+    hi = jax.lax.Precision.HIGHEST
+    JW = jnp.einsum("pij,jk->pik", J, W, precision=hi)            # [P, 2, 3]
+    cov2d = jnp.einsum("pik,pkl,pjl->pij", JW, cov3d, JW, precision=hi)  # [P, 2, 2]
+    return jnp.stack(
+        [cov2d[:, 0, 0] + low_pass, cov2d[:, 0, 1], cov2d[:, 1, 1] + low_pass],
+        axis=-1,
+    )
+
+
+def preprocess(
+    xyz: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: Camera,
+    alive: jnp.ndarray,
+    near: float = 0.2,
+    low_pass: float = 0.3,
+) -> Preprocessed:
+    """Cull + project + invert covariance + compute screen radius.
+
+    Parity: forward.cu:155-256.
+    """
+    mean2d, depth = project_points(xyz, cam)
+    cov = ewa_cov2d(xyz, cov3d, cam, low_pass)
+    a, b, c = cov[:, 0], cov[:, 1], cov[:, 2]
+    det = a * c - b * b
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda_max = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+
+    valid = (
+        (depth > near)
+        & (det != 0.0)
+        & (radius > 0.0)
+        & (alive > 0.0)
+        & jnp.isfinite(depth)
+    )
+    return Preprocessed(
+        valid=valid,
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        radius=jnp.where(valid, radius, 0.0),
+    )

@@ -1,0 +1,186 @@
+"""Public rasterizer API: preprocess -> bin -> gather -> composite -> image.
+
+Replaces the reference's ``GaussianRasterizer`` binding
+(diff_gaussian_rasterization/__init__.py:171-220) with the *extended*
+5-output semantics actually consumed by the framework
+(reference/gaussian_renderer/__init__.py:315-326): color, expected depth,
+alpha, 3-channel feature image, radii.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdpgs_tpu.config import RasterizeConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.ops.rasterize import binning as binning_lib
+from sdpgs_tpu.ops.rasterize import composite_xla
+from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed, preprocess
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray      # [H, W, 3]
+    depth: jnp.ndarray      # [H, W] expected depth (sum w_i * z_i)
+    alpha: jnp.ndarray      # [H, W] 1 - final transmittance
+    feature: jnp.ndarray    # [H, W, 3] composited language feature
+    radii: jnp.ndarray      # [P] screen radii (0 for invisible)
+    visibility: jnp.ndarray  # [P] bool, radii > 0
+    overflow: jnp.ndarray   # telemetry: entries dropped by per-tile cap K
+    clipped: jnp.ndarray    # telemetry: tile slots dropped by per-Gaussian cap D
+
+
+def _pad_row(a: jnp.ndarray) -> jnp.ndarray:
+    """Append one zero 'dead' row: binning sentinel index P points here."""
+    pad = [(0, 1)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def rasterize(
+    xyz: jnp.ndarray,          # [P, 3]
+    cov3d: jnp.ndarray,        # [P, 3, 3] world covariance
+    opacity: jnp.ndarray,      # [P] activated opacity (dead slots zero)
+    color: jnp.ndarray,        # [P, 3] per-Gaussian RGB
+    feature: jnp.ndarray,      # [P, 3] per-Gaussian language feature
+    alive: jnp.ndarray,        # [P] float mask
+    cam: Camera,
+    bg: jnp.ndarray,           # [3]
+    cfg: RasterizeConfig,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    feature_weight: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Differentiable render of one view.
+
+    ``means2d_offset`` is an all-zeros [P, 2] array added to the projected
+    screen centers; taking ``jax.grad`` w.r.t. it yields the per-Gaussian
+    screen-space gradients used for densification stats — the JAX analogue of
+    the reference's ``screenspace_points`` retain_grad trick
+    (gaussian_renderer/__init__.py:217-221).
+
+    ``feature_weight`` optionally scales the feature channels per Gaussian
+    (the reference's per-Gaussian ``confidence``,
+    gaussian_renderer/__init__.py:227-241).
+    """
+    prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
+    mean2d = prep.mean2d
+    if means2d_offset is not None:
+        mean2d = mean2d + means2d_offset
+
+    # Binning consumes geometry only; gradients flow through the payload.
+    bins = binning_lib.bin_gaussians(
+        Preprocessed(
+            valid=jax.lax.stop_gradient(prep.valid),
+            mean2d=jax.lax.stop_gradient(mean2d),
+            depth=jax.lax.stop_gradient(prep.depth),
+            conic=jax.lax.stop_gradient(prep.conic),
+            radius=jax.lax.stop_gradient(prep.radius),
+        ),
+        cam.width,
+        cam.height,
+        cfg,
+    )
+
+    if feature_weight is not None:
+        feature = feature * feature_weight[:, None]
+    values = jnp.concatenate(
+        [color, prep.depth[:, None], feature], axis=-1
+    )  # [P, 7]
+
+    idx = bins.tile_index                     # [T, K]
+    xy_g = _pad_row(mean2d)[idx]              # [T, K, 2]
+    con_g = _pad_row(prep.conic)[idx]
+    opa_g = _pad_row(opacity * prep.valid)[idx]
+    val_g = _pad_row(values)[idx]             # [T, K, 7]
+
+    tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
+    px, py = composite_xla.tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
+
+        out = composite_tiles_pallas(xy_g, con_g, opa_g, val_g, px, py, cfg)
+    else:
+        out = composite_xla.composite_tiles_xla(xy_g, con_g, opa_g, val_g, px, py, cfg)
+
+    H, W = cam.height, cam.width
+    vals = composite_xla.assemble_image(out.values, tiles_x, tiles_y, cfg.tile, H, W)
+    final_t = composite_xla.assemble_image(
+        out.final_t[..., None], tiles_x, tiles_y, cfg.tile, H, W
+    )[..., 0]
+
+    color_img = vals[..., :3] + final_t[..., None] * bg[None, None, :]
+    return RenderOutput(
+        color=color_img,
+        depth=vals[..., 3],
+        alpha=1.0 - final_t,
+        feature=vals[..., 4:7],
+        radii=jax.lax.stop_gradient(prep.radius),
+        visibility=jax.lax.stop_gradient(prep.radius > 0.0),
+        overflow=bins.overflow,
+        clipped=bins.clipped,
+    )
+
+
+def rasterize_naive(
+    xyz: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacity: jnp.ndarray,
+    color: jnp.ndarray,
+    feature: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+) -> RenderOutput:
+    """Slow-but-obviously-correct golden renderer: every Gaussian against
+    every pixel, no tiling, no per-tile capacity (SURVEY.md stage 2). Used in
+    tests to validate the tiled/Pallas paths."""
+    P = xyz.shape[0]
+    prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
+
+    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf))
+    values = jnp.concatenate([color, prep.depth[:, None], feature], axis=-1)
+
+    # Same tile-granular rect cutoff as the binned path (CUDA composites a
+    # Gaussian for every pixel of every tile its rect covers, and nowhere
+    # else) so golden and tiled agree exactly.
+    tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
+    xmin, xmax, ymin, ymax = binning_lib.tile_rect(
+        prep.mean2d, prep.radius, tiles_x, tiles_y, cfg.tile
+    )
+    rect = jnp.stack([xmin, xmax, ymin, ymax], axis=-1).astype(jnp.float32)
+
+    chunk = cfg.chunk
+    pad = (-P) % chunk
+    idx = jnp.pad(order, (0, pad), constant_values=P)[None, :]  # [1, K]
+    xy_g = _pad_row(prep.mean2d)[idx]
+    con_g = _pad_row(prep.conic)[idx]
+    opa_g = _pad_row(opacity * prep.valid)[idx]
+    val_g = _pad_row(values)[idx]
+    rect_g = _pad_row(rect)[idx]
+
+    H, W = cam.height, cam.width
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+    )
+    px = xs.reshape(1, -1)
+    py = ys.reshape(1, -1)
+
+    out = composite_xla.composite_tiles_xla(
+        xy_g, con_g, opa_g, val_g, px, py, cfg, rect=rect_g
+    )
+    vals = out.values.reshape(H, W, -1)
+    final_t = out.final_t.reshape(H, W)
+    return RenderOutput(
+        color=vals[..., :3] + final_t[..., None] * bg[None, None, :],
+        depth=vals[..., 3],
+        alpha=1.0 - final_t,
+        feature=vals[..., 4:7],
+        radii=prep.radius,
+        visibility=prep.radius > 0.0,
+        overflow=jnp.int32(0),
+        clipped=jnp.int32(0),
+    )

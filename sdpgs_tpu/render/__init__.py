@@ -1,0 +1,98 @@
+"""Renderer facade over the tile rasterizer.
+
+Parity with reference/gaussian_renderer/__init__.py: ``render`` (:209-338)
+plus the ``render_for_depth`` (:18-95, opacity frozen at 0.95, colors = 1)
+and ``render_for_opa`` (:96-181, geometry detached) variants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdpgs_tpu.config import RasterizeConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.core.gaussians import Gaussians
+from sdpgs_tpu.core.transforms import build_covariance_3d
+from sdpgs_tpu.ops.rasterize import rasterize, RenderOutput
+
+
+def render(
+    cam: Camera,
+    g: Gaussians,
+    cfg: RasterizeConfig,
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    override_language: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    confidence: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Render one view: SH -> RGB (python-side, the reference default
+    ``convert_SHs_python=True``), degree-0 normalized language feature,
+    extended rasterize."""
+    cov3d = build_covariance_3d(g.get_scaling(), g.get_rotation(), scaling_modifier)
+    color = (
+        override_color
+        if override_color is not None
+        else g.colors_from_sh(cam.cam_pos, active_sh_degree)
+    )
+    feature = (
+        override_language
+        if override_language is not None
+        else g.language_feature_normalized()
+    )
+    return rasterize(
+        g.xyz,
+        cov3d,
+        g.get_opacity()[:, 0],
+        color,
+        feature,
+        g.alive,
+        cam,
+        bg,
+        cfg,
+        means2d_offset=means2d_offset,
+        feature_weight=confidence[:, 0] if confidence is not None else None,
+    )
+
+
+def render_for_depth(
+    cam: Camera,
+    g: Gaussians,
+    cfg: RasterizeConfig,
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+) -> RenderOutput:
+    """Depth-only rendering with opacity frozen at 0.95 and white colors
+    (reference gaussian_renderer/__init__.py:18-95): geometry gradients only."""
+    opacity = jnp.full((g.capacity,), 0.95, jnp.float32) * g.alive
+    cov3d = build_covariance_3d(g.get_scaling(), g.get_rotation())
+    color = jnp.ones((g.capacity, 3), jnp.float32)
+    feature = jax.lax.stop_gradient(g.language_feature_normalized())
+    return rasterize(
+        g.xyz, cov3d, opacity, color, feature, g.alive, cam, bg, cfg
+    )
+
+
+def render_for_opa(
+    cam: Camera,
+    g: Gaussians,
+    cfg: RasterizeConfig,
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+) -> RenderOutput:
+    """Opacity-only rendering with geometry detached
+    (reference gaussian_renderer/__init__.py:96-181)."""
+    xyz = jax.lax.stop_gradient(g.xyz)
+    cov3d = jax.lax.stop_gradient(
+        build_covariance_3d(g.get_scaling(), g.get_rotation())
+    )
+    color = jax.lax.stop_gradient(g.colors_from_sh(cam.cam_pos, active_sh_degree))
+    feature = jax.lax.stop_gradient(g.language_feature_normalized())
+    return rasterize(
+        xyz, cov3d, g.get_opacity()[:, 0], color, feature, g.alive, cam, bg, cfg
+    )

@@ -1,0 +1,210 @@
+"""Jitted training steps.
+
+Loss assembly parity with reference/train.py:93-194 — one combined loss,
+one backward, one Adam step per iteration:
+- photometric (1-lambda)*L1 + lambda*(1-SSIM)          (train.py:99-100)
+- language-feature CE + L1 + smoothness                 (train.py:102-109)
+- mono-depth Pearson with disparity fallback            (train.py:126-131),
+  weight dropping to 0.001 after end_sample_pseudo      (train.py:133-134)
+- pseudo-view branch (train.py:138-188): rendered-depth-vs-mono Pearson
+  (differentiable through the depth net), per-segment Pearson after iter
+  4000, multi-view reprojection consistency.
+
+TPU-first: the step is one jitted function over a *batch* of views (the
+reference samples a single random camera per iteration, train.py:89-92);
+screen-space densification gradients come from differentiating w.r.t. an
+all-zeros mean2d offset instead of the reference's retain_grad trick.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdpgs_tpu.config import TrainConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.losses import (
+    depth_pearson_loss,
+    l1_loss_mask,
+    loss_feature_metric,
+    loss_reproject_depth,
+    pearson_corrcoef,
+    psnr,
+    segment_pearson_loss,
+    ssim,
+)
+from sdpgs_tpu.losses.feature import segment_cluster_assign
+from sdpgs_tpu.opt.adam import adam_update, learning_rates, trainable_params
+from sdpgs_tpu.opt.densify import add_densification_stats
+from sdpgs_tpu.render import render
+from sdpgs_tpu.train.state import TrainState
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    psnr: jnp.ndarray
+    overflow: jnp.ndarray
+    num_alive: jnp.ndarray
+
+
+class ViewBatch(NamedTuple):
+    """One batch of training views (leading axis = view)."""
+
+    camera: Camera                 # batched pytree (same H/W across views)
+    image: jnp.ndarray             # [V, 3, H, W] ground truth
+    depth_mono: jnp.ndarray        # [V, H, W] aligned mono depth prior
+    feature: jnp.ndarray           # [V, 3, H, W] per-pixel gt language feature
+    seg_map: jnp.ndarray           # [V, H, W] int32 segment ids
+
+
+class PseudoInputs(NamedTuple):
+    """Inputs for the pseudo-view regularization branch."""
+
+    camera: Camera                 # single pseudo camera
+    train_depths: jnp.ndarray      # [V, H, W] aligned mono depths (train views)
+    K: jnp.ndarray                 # [3, 3]
+    R_train: jnp.ndarray           # [V, 3, 3] world->cam
+    t_train: jnp.ndarray           # [V, 3]
+    R_pseudo: jnp.ndarray          # [3, 3]
+    t_pseudo: jnp.ndarray          # [3]
+
+
+def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
+                     cfg: TrainConfig, sh_degree: int, bg, step):
+    opt = cfg.optim
+    out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset)
+    image = out.color.transpose(2, 0, 1)                 # [3, H, W]
+    ll1 = l1_loss_mask(image, gt_img)
+    loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim(image, gt_img))
+
+    if opt.include_feature:
+        feat_img = out.feature.transpose(2, 0, 1)
+        lf, lsm = loss_feature_metric(
+            feat_img, gt_feat, protos, seg,
+            known_fce=opt.known_fce, known_fl1=opt.known_fl1, known_fsm=opt.known_fsm,
+        )
+        loss = loss + lf + lsm
+
+    depth_w = jnp.where(
+        step > opt.end_sample_pseudo, opt.depth_weight_late, opt.depth_weight
+    )
+    loss = loss + depth_w * depth_pearson_loss(out.depth, mono, disparity_const=200.0)
+    return loss, (ll1, image, out)
+
+
+def _pseudo_losses(g, pseudo: PseudoInputs, protos, cfg: TrainConfig,
+                   sh_degree: int, bg, step,
+                   mono_depth_fn: Optional[Callable]):
+    """Pseudo-view regularization terms (train.py:138-188)."""
+    opt = cfg.optim
+    it = step.astype(jnp.float32)
+    loss_scale = jnp.clip((it - opt.start_sample_pseudo) / 500.0, 0.0, 1.0)
+
+    out = render(pseudo.camera, g, cfg.raster, bg, sh_degree)
+    depth = out.depth
+    total = jnp.float32(0.0)
+
+    if mono_depth_fn is not None:
+        mono = mono_depth_fn(out.color.transpose(2, 0, 1))          # [H, W]
+        pl = 1.0 - pearson_corrcoef(depth, -mono)
+        total = total + loss_scale * opt.depth_pseudo_weight * jnp.nan_to_num(pl)
+
+        labels = segment_cluster_assign(
+            jax.lax.stop_gradient(out.feature.transpose(2, 0, 1)), protos
+        )
+        seg_loss = segment_pearson_loss(depth, mono, labels, protos.shape[0])
+        seg_scale = jnp.clip((it - opt.start_sample_pseudo) / 8000.0, 0.0, 1.0)
+        total = total + jnp.where(
+            it > 4000.0,
+            0.25 * seg_scale * opt.depth_pseudo_weight * jnp.nan_to_num(seg_loss),
+            0.0,
+        )
+
+    reproj = loss_reproject_depth(
+        depth, pseudo.train_depths, pseudo.K, pseudo.R_train, pseudo.t_train,
+        pseudo.R_pseudo, pseudo.t_pseudo,
+    )
+    total = total + 0.5 * loss_scale * opt.depth_pseudo_weight * jnp.nan_to_num(reproj)
+    return total
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    sh_degree: int,
+    with_pseudo: bool = False,
+    mono_depth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> Callable:
+    """Build the jitted train step for a given active SH degree (the degree
+    warmup every 500 iters, train.py:85-86, selects among compiled steps).
+    When ``with_pseudo`` the pseudo-view terms join the same loss/backward
+    (the reference adds them to ``loss`` before the single backward)."""
+
+    def step_fn(state: TrainState, batch: ViewBatch, prototypes: jnp.ndarray,
+                bg: jnp.ndarray, spatial_lr_scale: jnp.ndarray,
+                pseudo: Optional[PseudoInputs] = None):
+        g = state.gaussians
+        params = trainable_params(g)
+        V = batch.image.shape[0]
+        offsets = jnp.zeros((V, g.capacity, 2), jnp.float32)
+
+        def total_loss(params, offsets):
+            gg = g.replace(**params)
+
+            def one(cam, img, mono, feat, seg, off):
+                return _per_view_losses(
+                    gg, cam, img, mono, feat, seg, prototypes, off,
+                    cfg, sh_degree, bg, state.step,
+                )
+
+            losses, aux = jax.vmap(one)(
+                batch.camera, batch.image, batch.depth_mono,
+                batch.feature, batch.seg_map, offsets,
+            )
+            loss = jnp.mean(losses)
+            if with_pseudo:
+                loss = loss + _pseudo_losses(
+                    gg, pseudo, prototypes, cfg, sh_degree, bg, state.step,
+                    mono_depth_fn,
+                )
+            return loss, aux
+
+        (loss, (ll1, images, outs)), grads = jax.value_and_grad(
+            total_loss, argnums=(0, 1), has_aux=True
+        )(params, offsets)
+        param_grads, offset_grads = grads
+
+        lrs = learning_rates(cfg.optim, state.step, spatial_lr_scale)
+        g_new, opt_state = adam_update(g, param_grads, state.opt_state, lrs)
+
+        # Densification stats: accumulate every view's screen-space grads
+        # (train.py:218-221), visibility = radii > 0 per view.
+        stats = state.stats
+        H, W = batch.image.shape[-2:]
+        for v in range(V):
+            stats = add_densification_stats(
+                stats, offset_grads[v], outs.visibility[v], outs.radii[v], W, H
+            )
+
+        metrics = StepMetrics(
+            loss=loss,
+            l1=jnp.mean(ll1),
+            psnr=jnp.mean(
+                jax.vmap(lambda a, b: psnr(jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))(
+                    images, batch.image
+                )
+            ),
+            overflow=jnp.max(outs.overflow),
+            num_alive=g_new.num_alive(),
+        )
+        new_state = state.replace(
+            gaussians=g_new,
+            opt_state=opt_state,
+            stats=stats,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn)
