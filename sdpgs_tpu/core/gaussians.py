@@ -91,16 +91,21 @@ class Gaussians:
         """Per-Gaussian RGB from SH at the given camera position
         (reference gaussian_renderer/__init__.py:269-274)."""
         dirs = self.xyz - cam_pos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-24)
         rgb = sh_lib.eval_sh(active_degree, self.get_features(), dirs)
         return jnp.maximum(rgb + 0.5, 0.0)
 
     def language_feature_normalized(self) -> jnp.ndarray:
         """Degree-0 'SH' language feature, normalized
         (reference gaussian_renderer/__init__.py:282-287): the per-Gaussian
-        feature is scaled by the SH DC constant and L2-normalized."""
+        feature is scaled by the SH DC constant and L2-normalized.
+
+        Smooth norm (sqrt(|f|^2 + eps^2)): language features start at exactly
+        zero (reference gaussian_model.py:225), where ``jnp.linalg.norm`` has
+        a NaN gradient (torch special-cases it to 0)."""
         f = self.language_feature * sh_lib.C0
-        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-9)
+        norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-18)
+        return f / (norm + 1e-9)
 
 
 def create_from_points(
@@ -151,12 +156,16 @@ def create_from_points(
     alive = np.zeros((capacity,), dtype=np.float32)
     alive[:n] = 1.0
 
+    rot_pad = np.zeros((capacity, 4), dtype=np.float32)
+    rot_pad[:, 0] = 1.0  # identity quat in dead slots (zero quat has no grad)
+    rot_pad[:n] = rot
+
     return Gaussians(
         xyz=pad(np.asarray(points, np.float32)),
         features_dc=pad(np.asarray(fdc)),
         features_rest=pad(np.zeros((n, K - 1, 3), np.float32)),
         scaling=pad(log_scale, fill=-10.0),
-        rotation=pad(rot),
+        rotation=jnp.asarray(rot_pad),
         opacity=pad(opa, fill=-10.0),
         language_feature=pad(np.asarray(features, np.float32)),
         alive=jnp.asarray(alive),

@@ -17,8 +17,11 @@ import jax.numpy as jnp
 
 
 def normalize_quat(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternion(s) [..., 4] stored as (w, x, y, z)."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternion(s) [..., 4] stored as (w, x, y, z).
+
+    Smooth norm so the gradient is 0 (not NaN) at q == 0 — dead padding
+    slots can carry zero quaternions."""
+    return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps * eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -14,11 +14,15 @@ import jax.numpy as jnp
 from sdpgs_tpu.losses.basic import l1_loss
 
 
+def _smooth_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """L2-normalize with a smooth norm: grad is 0 (not NaN) at x == 0, which
+    happens at every background pixel of a rendered feature image."""
+    return x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
+
+
 def _cosine_to_prototypes(feat: jnp.ndarray, protos: jnp.ndarray) -> jnp.ndarray:
     """[N, C] x [S, C] -> [N, S] cosine similarity."""
-    f = feat / jnp.clip(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-8)
-    p = protos / jnp.clip(jnp.linalg.norm(protos, axis=-1, keepdims=True), 1e-8)
-    return f @ p.T
+    return _smooth_normalize(feat) @ _smooth_normalize(protos).T
 
 
 def penalty_loss(pred: jnp.ndarray, penalty: str = "l2") -> jnp.ndarray:

@@ -72,7 +72,11 @@ def ewa_cov2d(
 
     lim_x = 1.3 * cam.tan_fovx
     lim_y = 1.3 * cam.tan_fovy
+    # Keep t_z away from 0: culled Gaussians (z <= near) still flow through
+    # this math, and a 0/NaN primal would poison gradients of live ones via
+    # 0-cotangent * NaN-Jacobian products.
     tz = t[:, 2]
+    tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
     ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
 

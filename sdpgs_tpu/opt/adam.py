@@ -61,10 +61,13 @@ def expon_lr(
 ) -> jnp.ndarray:
     """Log-linear interpolated decay with optional sine-eased delay
     (reference/utils/general_utils.py:39-72; Plenoxels lineage)."""
-    if lr_init == 0.0 and lr_final == 0.0:
-        return jnp.float32(0.0)
+    lr_init = jnp.asarray(lr_init, jnp.float32)
+    lr_final = jnp.asarray(lr_final, jnp.float32)
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(jnp.log(lr_init) * (1.0 - t) + jnp.log(lr_final) * t)
+    safe_init = jnp.maximum(lr_init, 1e-30)
+    safe_final = jnp.maximum(lr_final, 1e-30)
+    log_lerp = jnp.exp(jnp.log(safe_init) * (1.0 - t) + jnp.log(safe_final) * t)
+    log_lerp = jnp.where((lr_init == 0.0) & (lr_final == 0.0), 0.0, log_lerp)
     if lr_delay_steps > 0:
         delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
             0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
