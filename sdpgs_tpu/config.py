@@ -28,8 +28,9 @@ class RasterizeConfig:
 
     tile: int = 16                  # tile edge in pixels (reference config.h:15-16)
     max_per_tile: int = 512         # K: max composited Gaussians per tile
-    max_tiles_per_gaussian: int = 32  # D: per-Gaussian tile-rect capacity
-    chunk: int = 32                 # compositing chunk (K % chunk == 0)
+    max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
+    chunk: int = 32                 # XLA-path compositing chunk (K % chunk == 0)
+    chunk_pallas: int = 128         # Pallas kernel chunk (MXU tile; K % 128 == 0)
     alpha_min: float = 1.0 / 255.0  # skip threshold (forward.cu:344)
     alpha_max: float = 0.99         # clamp (forward.cu:343)
     transmittance_min: float = 1e-4  # early-stop threshold (forward.cu:347)

@@ -1,31 +1,39 @@
-"""Tile binning: depth-major sort of (tile, Gaussian) entries into a dense
-per-tile index table with static capacity.
+"""Tile binning: build a dense per-tile, depth-ordered index table.
 
-Replaces the reference's dynamic-shape pipeline (rasterizer_impl.cu:198-336):
-InclusiveSum of tiles_touched -> duplicateWithKeys (tileID||depth 64-bit
-keys) -> cub radix sort -> identifyTileRanges. TPU-first redesign:
+Replaces the reference's sort-centric pipeline (rasterizer_impl.cu:198-336:
+tiles_touched prefix scan -> duplicateWithKeys -> 64-bit radix sort ->
+identifyTileRanges) with a **sort-free, gather-free** TPU formulation.
+Global sorts of duplicated entries and row-gathers are hostile to TPU
+(measured on v5e: 4M-entry sort+searchsorted+scatter ~0.85s; 1M-element
+take_along_axis ~17ms); every step here is elementwise / cumsum / one-hot
+reduction / one bounded scatter:
 
-1. Gaussians are argsorted by view depth ONCE (cheap, [P]).
-2. Each Gaussian statically duplicates into at most D tile slots covering its
-   screen rect (the reference's dynamic tiles_touched becomes a capacity with
-   overflow telemetry).
-3. A single *stable* sort by tile id over the [P*D] entries preserves depth
-   order within each tile — equivalent to the reference's 64-bit
-   (tile||depth) radix sort but with a 32-bit key.
-4. Ranks within each tile come from a searchsorted against the sorted keys;
-   entries scatter into a dense [num_tiles, K] table (sentinel = capacity
-   index P, which points at a dead padding Gaussian).
+1. Gaussians are argsorted by view depth ONCE ([P], the only sort).
+2. Per chunk of tiles, membership ``mask[p, t]`` comes from 4 comparisons
+   against the Gaussian's tile rect; an inclusive ``cumsum`` over the
+   depth-sorted axis yields within-tile ranks.
+3. Each Gaussian enumerates up to D tile entries from its rect
+   (row-major, like duplicateWithKeys, auxiliary.h:46-58); the entry's rank
+   is read out of the chunk cumsum with a one-hot *dot* over the chunk's
+   tiles — a bandwidth-bound reduction instead of a gather.
+4. One scatter writes every kept entry to slot ``tile*K + rank`` of the
+   dense table ([num_tiles, K], sentinel = P -> dead padding row).
 
-The resulting table is integer -> non-differentiable, exactly like the
-reference's point list; gradients flow through the gathered payload instead
-(XLA transposes the gather into a deterministic scatter-add, replacing the
-CUDA backward's atomicAdd at backward.cu:523-554).
+The table indexes the original Gaussian arrays and is integer ->
+non-differentiable, exactly like the reference's point list; gradients flow
+through the gathered payload (XLA transposes that gather into a
+deterministic scatter-add, replacing the CUDA backward's atomicAdd,
+backward.cu:523-554).
+
+Capacity semantics: per-tile K overflow and per-Gaussian D clipping are
+counted and reported, never silent.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sdpgs_tpu.config import RasterizeConfig
@@ -34,9 +42,10 @@ from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
 
 class Binning(NamedTuple):
     tile_index: jnp.ndarray   # [num_tiles, K] int32 into [P+1]-padded payloads
-    overflow: jnp.ndarray     # scalar int32: valid entries dropped by K cap
-    clipped: jnp.ndarray      # scalar int32: tile slots dropped by D cap
-    num_entries: jnp.ndarray  # scalar int32: total valid (tile, gaussian) pairs
+    tile_counts: jnp.ndarray  # [num_tiles] int32 live entries per tile (<= K)
+    overflow: jnp.ndarray     # scalar int32: entries dropped by the K cap
+    clipped: jnp.ndarray      # scalar int32: tile slots dropped by the D cap
+    num_entries: jnp.ndarray  # scalar int32: total (tile, gaussian) pairs
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -56,65 +65,113 @@ def tile_rect(
     return xmin, xmax, ymin, ymax
 
 
+def _tile_chunk(num_tiles: int, P: int) -> int:
+    """Tiles per chunk, sized so the [P, Tc] mask stays ~<=64MB."""
+    tc = max(8, (1 << 24) // max(P, 1))
+    return min(num_tiles, tc)
+
+
 def bin_gaussians(
     prep: Preprocessed, width: int, height: int, cfg: RasterizeConfig
 ) -> Binning:
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile)
     num_tiles = tiles_x * tiles_y
     P = prep.depth.shape[0]
-    D, K = cfg.max_tiles_per_gaussian, cfg.max_per_tile
+    K = cfg.max_per_tile
+    D = cfg.max_tiles_per_gaussian
 
     # --- 1. depth-major order over Gaussians -------------------------------
-    depth_key = jnp.where(prep.valid, prep.depth, jnp.inf)
-    order = jnp.argsort(depth_key)                       # [P] ascending depth
-    valid_s = prep.valid[order]
-    mean_s = prep.mean2d[order]
-    rad_s = prep.radius[order]
-
-    # --- 2. static duplication over the tile rect (auxiliary.h getRect) ----
-    rect_min_x, rect_max_x, rect_min_y, rect_max_y = tile_rect(
-        mean_s, rad_s, tiles_x, tiles_y, cfg.tile
+    # Pack each Gaussian's tile rect into one i32 and carry it through the
+    # sort as a value operand: multi-operand lax.sort is ~10x cheaper than
+    # argsort followed by random gathers on TPU.
+    assert tiles_x < 128 and tiles_y < 128, (
+        "rect packing uses 7-bit tile coords; raise cfg.tile for this image size"
     )
-    rect_w = rect_max_x - rect_min_x
-    rect_h = rect_max_y - rect_min_y
-    count = rect_w * rect_h                              # [P]
-    valid_s = valid_s & (count > 0)                      # forward.cu:236
+    xmin0, xmax0, ymin0, ymax0 = tile_rect(
+        prep.mean2d, prep.radius, tiles_x, tiles_y, cfg.tile
+    )
+    count0 = (xmax0 - xmin0) * (ymax0 - ymin0)
+    valid0 = prep.valid & (count0 > 0)                           # forward.cu:236
+    xmax0 = jnp.where(valid0, xmax0, xmin0)
+    ymax0 = jnp.where(valid0, ymax0, ymin0)
+    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)  # 7 bits each
 
-    d = jnp.arange(D, dtype=jnp.int32)[None, :]          # [1, D]
-    # Row-major local offset d -> (dy, dx) within the rect.
+    depth_key = jnp.where(valid0, prep.depth, jnp.inf)
+    gids = jnp.arange(P, dtype=jnp.int32)
+    _, packed_s, order = jax.lax.sort(
+        (depth_key, packed, gids), num_keys=1, is_stable=True
+    )
+    xmin = packed_s & 0x7F
+    xmax = (packed_s >> 7) & 0x7F
+    ymin = (packed_s >> 14) & 0x7F
+    ymax = (packed_s >> 21) & 0x7F
+    rect_w = xmax - xmin
+    count = rect_w * (ymax - ymin)
+    valid_s = count > 0
+
+    # --- 2. per-Gaussian entry enumeration (row-major over the rect) -------
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]
     rw = jnp.maximum(rect_w, 1)[:, None]
-    tile_x = rect_min_x[:, None] + d % rw
-    tile_y = rect_min_y[:, None] + d // rw
+    tile_x = xmin[:, None] + d % rw
+    tile_y = ymin[:, None] + d // rw
     entry_valid = valid_s[:, None] & (d < count[:, None])
-    key = jnp.where(
-        entry_valid, tile_y * tiles_x + tile_x, jnp.int32(num_tiles)
-    )                                                    # [P, D]
+    tid = jnp.where(entry_valid, tile_y * tiles_x + tile_x, jnp.int32(num_tiles))
 
-    clipped = jnp.sum(
-        jnp.where(valid_s, jnp.maximum(count - D, 0), 0)
-    ).astype(jnp.int32)
+    clipped = jnp.sum(jnp.where(valid_s, jnp.maximum(count - D, 0), 0)).astype(jnp.int32)
     num_entries = jnp.sum(jnp.where(valid_s, jnp.minimum(count, D), 0)).astype(jnp.int32)
 
-    # --- 3. stable sort by tile id (preserves depth order within tile) -----
-    flat_key = key.reshape(-1)                           # [P*D]
-    gid = jnp.broadcast_to(order[:, None].astype(jnp.int32), (P, D)).reshape(-1)
-    perm = jnp.argsort(flat_key, stable=True)
-    sorted_key = flat_key[perm]
-    sorted_gid = gid[perm]
+    # --- 3. within-tile rank: chunked mask+cumsum, one-hot dot readout ------
+    Tc = _tile_chunk(num_tiles, P)
+    pad_tiles = (-num_tiles) % Tc
+    tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32)
+    ctx = (tiles % tiles_x).reshape(-1, Tc)
+    cty = (tiles // tiles_x).reshape(-1, Tc)
+    tstart = tiles.reshape(-1, Tc)[:, 0]
 
-    # --- 4. rank within tile + dense scatter --------------------------------
-    n = sorted_key.shape[0]
-    first_occ = jnp.searchsorted(sorted_key, sorted_key, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first_occ.astype(jnp.int32)
-    keep = (sorted_key < num_tiles) & (rank < K)
-    overflow = jnp.sum((sorted_key < num_tiles) & (rank >= K)).astype(jnp.int32)
+    def chunk_rank(carry, chunk):
+        rank, overflow_c = carry
+        ctx_c, cty_c, t0 = chunk                                  # [Tc], [Tc], []
+        mask = (
+            (ctx_c[None, :] >= xmin[:, None])
+            & (ctx_c[None, :] < xmax[:, None])
+            & (cty_c[None, :] >= ymin[:, None])
+            & (cty_c[None, :] < ymax[:, None])
+        )                                                         # [P, Tc]
+        mf = mask.astype(jnp.float32)
+        excl = jnp.cumsum(mf, axis=0) - mf                        # exclusive
+        # Rank readout without gathers: batched one-hot dot over the chunk's
+        # tiles. The [P, D, Tc] one-hot is f32 so ranks (< 2^24) are exact;
+        # the contraction runs as a batched matvec at memory bandwidth.
+        onehot = (
+            tid[:, :, None] == (t0 + jnp.arange(Tc, dtype=jnp.int32))[None, None, :]
+        ).astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            onehot, excl,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                         # [P, D]
+        rank = rank + contrib.astype(jnp.int32)
+        counts = jnp.sum(mf, axis=0).astype(jnp.int32)            # [Tc]
+        overflow_c = overflow_c + jnp.sum(jnp.maximum(counts - K, 0))
+        return (rank, overflow_c), counts
 
-    slot = jnp.where(keep, sorted_key * K + rank, num_tiles * K)  # OOB -> drop
-    tile_index = jnp.full((num_tiles * K,), P, dtype=jnp.int32)
-    tile_index = tile_index.at[slot].set(sorted_gid, mode="drop")
+    init = (jnp.zeros((P, D), jnp.int32), jnp.int32(0))
+    (rank, overflow), counts = jax.lax.scan(
+        chunk_rank, init, (ctx, cty, tstart)
+    )
+    tile_counts = jnp.minimum(counts.reshape(-1)[:num_tiles], K)
+
+    # --- 4. dense table via one bounded scatter -----------------------------
+    keep = entry_valid & (rank < K)
+    slot = jnp.where(keep, tid * K + rank, jnp.int32(num_tiles * K))  # OOB -> drop
+    gid = jnp.broadcast_to(order[:, None], (P, D))
+    table = jnp.full((num_tiles * K,), P, dtype=jnp.int32)
+    table = table.at[slot.reshape(-1)].set(gid.reshape(-1), mode="drop")
+
     return Binning(
-        tile_index=tile_index.reshape(num_tiles, K),
-        overflow=overflow,
+        tile_index=table.reshape(num_tiles, K),
+        tile_counts=tile_counts,
+        overflow=overflow.astype(jnp.int32),
         clipped=clipped,
         num_entries=num_entries,
     )

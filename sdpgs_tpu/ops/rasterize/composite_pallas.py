@@ -1,0 +1,319 @@
+"""Pallas TPU kernels for per-tile front-to-back compositing.
+
+Replaces the CUDA render kernels (reference forward.cu:261-374,
+backward.cu:399-557) with a TPU-native formulation:
+
+- one grid step per tile; the tile's K-entry payload streams through VMEM;
+- a chunk of G Gaussians x npix pixels computes its alpha matrix on the VPU,
+  recovers per-entry incoming transmittance with a *triangular matmul in log
+  space* (cumprod -> MXU), and accumulates all output channels with a
+  [C, G] x [G, npix] matmul — the MXU does the compositing accumulation that
+  CUDA performs with per-thread scalar adds;
+- per-pixel early termination (T < 1e-4) becomes a per-tile chunk-granular
+  ``lax.while_loop`` exit once every pixel is done — preserving the exact
+  CUDA contributor set via a carried ``done`` flag;
+- the backward pass is an analytic reverse sweep (back-to-front over chunks,
+  like backward.cu) that recomputes alphas from residuals (transmittance +
+  done flag at each chunk start) and emits *per-entry* gradients; the outer
+  gather's autodiff transpose then scatter-adds them per Gaussian —
+  deterministic segment-sum instead of CUDA's atomicAdd.
+
+Gradient math: with w_i = alpha_i * T_i (T_i = incoming transmittance),
+out = sum_i w_i v_i and T_fin = T_0 * prod(1 - alpha_i):
+
+  dL/dv_i     = w_i * g
+  dL/dalpha_i = T_i (v_i . g) - S_i / (1 - alpha_i),
+  S_i = sum_{j>i} w_j (v_j . g) + T_fin * gT
+
+which matches the CUDA accumulation (backward.cu:446-523) rearranged into
+suffix form so it vectorizes as one strict-upper-triangular matmul per chunk
+plus a carried scalar row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdpgs_tpu.config import RasterizeConfig
+from sdpgs_tpu.ops.rasterize.composite_xla import TileOutputs
+
+
+def _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg: RasterizeConfig):
+    """[G] payload vs [npix] pixels -> alpha [G, npix] + not_clamped mask.
+
+    Mirrors forward.cu:330-351: power > 0 skip, alpha = min(0.99, op*exp),
+    alpha < 1/255 skip."""
+    dx = xs[:, None] - px[None, :]
+    dy = ys[:, None] - py[None, :]
+    power = -0.5 * (ca[:, None] * dx * dx + cc[:, None] * dy * dy) - cb[:, None] * dx * dy
+    alpha_raw = op[:, None] * jnp.exp(power)
+    alpha = jnp.minimum(cfg.alpha_max, alpha_raw)
+    live = (power <= 0.0) & (alpha_raw >= cfg.alpha_min)
+    alpha = jnp.where(live, alpha, 0.0)
+    not_clamped = live & (alpha_raw < cfg.alpha_max)
+    return alpha, not_clamped, dx, dy, power
+
+
+def _tri(G: int, strict: bool) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    return ((row > col) if strict else (row >= col)).astype(jnp.float32)
+
+
+def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
+                out_ref, tfin_ref, tres_ref, dres_ref, nproc_ref,
+                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int):
+    px = px_ref[0, 0, :]
+    py = py_ref[0, 0, :]
+    out_ref[...] = jnp.zeros_like(out_ref)
+    tres_ref[...] = jnp.ones_like(tres_ref)
+    dres_ref[...] = jnp.zeros_like(dres_ref)
+    # Only the chunks that actually hold entries for this tile are visited
+    # (binning reports per-tile live counts; sentinel slots past the count
+    # are all-dead and would be pure waste).
+    nch = jnp.minimum(pl.cdiv(counts_ref[pl.program_id(0), 0], G), nchunk)
+    # Lower-triangular (inclusive) ones: cumprod via matmul in log space.
+    Lt = _tri(G, strict=False)
+
+    def cond(carry):
+        c, t, done = carry
+        return (c < nch) & jnp.logical_not(jnp.all(done > 0.5))
+
+    def body(carry):
+        c, t, done = carry
+        g0 = pl.multiple_of(c * G, 128)
+        tres_ref[0, c, :] = t
+        dres_ref[0, c, :] = done
+        xs = xy_ref[0, 0, pl.ds(g0, G)]
+        ys = xy_ref[0, 1, pl.ds(g0, G)]
+        ca = con_ref[0, 0, pl.ds(g0, G)]
+        cb = con_ref[0, 1, pl.ds(g0, G)]
+        cc = con_ref[0, 2, pl.ds(g0, G)]
+        op = opa_ref[0, 0, pl.ds(g0, G)]
+        alpha, _, _, _, _ = _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg)
+
+        logs = jnp.log1p(-alpha)                                   # [G, npix]
+        cum_in = jnp.exp(jnp.dot(Lt, logs, preferred_element_type=jnp.float32))
+        cum = t[None, :] * cum_in
+        active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
+        alpha_eff = jnp.where(active, alpha, 0.0)
+        t_excl = t[None, :] * cum_in / (1.0 - alpha)
+        w = alpha_eff * t_excl                                     # [G, npix]
+
+        vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
+        out_ref[0, :, :] += jnp.dot(vals, w, preferred_element_type=jnp.float32)
+
+        t_new = t * jnp.exp(jnp.sum(jnp.log1p(-alpha_eff), axis=0))
+        done_new = jnp.maximum(
+            done, jnp.any(cum < cfg.transmittance_min, axis=0).astype(jnp.float32)
+        )
+        return c + 1, t_new, done_new
+
+    c_fin, t_fin, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((npix,), jnp.float32), jnp.zeros((npix,), jnp.float32)),
+    )
+    tfin_ref[0, 0, :] = t_fin
+    nproc_ref[pl.program_id(0), 0] = c_fin
+
+
+def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
+                tres_ref, dres_ref, nproc_ref, tfin_ref, gval_ref, gtfin_ref,
+                dxy_ref, dcon_ref, dopa_ref, dval_ref,
+                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int):
+    px = px_ref[0, 0, :]
+    py = py_ref[0, 0, :]
+    dxy_ref[...] = jnp.zeros_like(dxy_ref)
+    dcon_ref[...] = jnp.zeros_like(dcon_ref)
+    dopa_ref[...] = jnp.zeros_like(dopa_ref)
+    dval_ref[...] = jnp.zeros_like(dval_ref)
+
+    g = gval_ref[0, :, :]                                          # [C, npix]
+    s0 = tfin_ref[0, 0, :] * gtfin_ref[0, 0, :]                          # [npix]
+    nproc = nproc_ref[pl.program_id(0), 0]
+    Lt = _tri(G, strict=False)
+    Ut = _tri(G, strict=True).T  # strict upper
+
+    def body(k, s_carry):
+        c = nproc - 1 - k
+        g0 = pl.multiple_of(c * G, 128)
+        t = tres_ref[0, c, :]
+        done = dres_ref[0, c, :]
+        xs = xy_ref[0, 0, pl.ds(g0, G)]
+        ys = xy_ref[0, 1, pl.ds(g0, G)]
+        ca = con_ref[0, 0, pl.ds(g0, G)]
+        cb = con_ref[0, 1, pl.ds(g0, G)]
+        cc = con_ref[0, 2, pl.ds(g0, G)]
+        op = opa_ref[0, 0, pl.ds(g0, G)]
+        alpha, not_clamped, dx, dy, power = _alpha_and_masks(
+            xs, ys, ca, cb, cc, op, px, py, cfg
+        )
+
+        logs = jnp.log1p(-alpha)
+        cum_in = jnp.exp(jnp.dot(Lt, logs, preferred_element_type=jnp.float32))
+        cum = t[None, :] * cum_in
+        active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
+        t_excl = t[None, :] * cum_in / (1.0 - alpha)
+        alpha_eff = jnp.where(active, alpha, 0.0)
+        w = alpha_eff * t_excl
+
+        vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
+        vg = jnp.dot(vals.T, g, preferred_element_type=jnp.float32)  # [G, npix]
+        wvg = w * vg
+        suffix = jnp.dot(Ut, wvg, preferred_element_type=jnp.float32)
+        S = suffix + s_carry[None, :]
+        d_alpha = jnp.where(active, t_excl * vg - S / (1.0 - alpha), 0.0)
+
+        # d vals: [C, G] = g @ w^T
+        dval_ref[0, :, pl.ds(g0, G)] = jnp.dot(
+            g, w.T, preferred_element_type=jnp.float32
+        )
+
+        # alpha = min(0.99, op * exp(power)), masked
+        d_eff = jnp.where(not_clamped, d_alpha, 0.0)
+        d_op = jnp.sum(d_eff * jnp.exp(power), axis=1)             # [G]
+        d_pow = d_eff * alpha                                      # [G, npix]
+        dopa_ref[0, 0, pl.ds(g0, G)] = d_op
+        dcon_ref[0, 0, pl.ds(g0, G)] = jnp.sum(-0.5 * dx * dx * d_pow, axis=1)
+        dcon_ref[0, 1, pl.ds(g0, G)] = jnp.sum(-dx * dy * d_pow, axis=1)
+        dcon_ref[0, 2, pl.ds(g0, G)] = jnp.sum(-0.5 * dy * dy * d_pow, axis=1)
+        d_dx = (-ca[:, None] * dx - cb[:, None] * dy) * d_pow
+        d_dy = (-cc[:, None] * dy - cb[:, None] * dx) * d_pow
+        dxy_ref[0, 0, pl.ds(g0, G)] = jnp.sum(d_dx, axis=1)
+        dxy_ref[0, 1, pl.ds(g0, G)] = jnp.sum(d_dy, axis=1)
+
+        return s_carry + jnp.sum(wvg, axis=0)
+
+    jax.lax.fori_loop(0, nproc, body, s0)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
+    # Lane-dim dynamic slices must be provably 128-aligned on TPU, and a
+    # 128-wide chunk makes the triangular cumprod matmul a native MXU tile.
+    G = cfg.chunk_pallas
+    assert G % 128 == 0 or _interpret(), (G, "pallas chunk must be 128-aligned")
+    assert K % G == 0, (K, G)
+    nchunk = K // G
+
+    tile_block = lambda *s: pl.BlockSpec(
+        (1,) + s, lambda i: (i,) + (0,) * len(s), memory_space=pltpu.VMEM
+    )
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile counts
+            tile_block(2, K),      # xy
+            tile_block(3, K),      # conic
+            tile_block(1, K),      # opacity (singleton axis: TPU block rule)
+            tile_block(C, K),      # values
+            tile_block(1, npix),   # px
+            tile_block(1, npix),   # py
+        ],
+        out_specs=[
+            tile_block(C, npix),   # out values
+            tile_block(1, npix),   # final T
+            tile_block(nchunk, npix),  # T residual at chunk starts
+            tile_block(nchunk, npix),  # done residual
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nproc: full array, indexed by program_id
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C, npix), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, npix), jnp.float32),
+            jax.ShapeDtypeStruct((T, nchunk, npix), jnp.float32),
+            jax.ShapeDtypeStruct((T, nchunk, npix), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C),
+        grid=(T,),
+        in_specs=[
+            tile_block(2, K),
+            tile_block(3, K),
+            tile_block(1, K),
+            tile_block(C, K),
+            tile_block(1, npix),
+            tile_block(1, npix),
+            tile_block(nchunk, npix),
+            tile_block(nchunk, npix),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nproc
+            tile_block(1, npix),   # tfin
+            tile_block(C, npix),   # g values
+            tile_block(1, npix),   # g tfin
+        ],
+        out_specs=[
+            tile_block(2, K),
+            tile_block(3, K),
+            tile_block(1, K),
+            tile_block(C, K),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, 3, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, K), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+
+    @jax.custom_vjp
+    def composite(counts, xy_t, con_t, opa, val_t, px, py):
+        out, tfin, _, _, _ = fwd_call(counts, xy_t, con_t, opa, val_t, px, py)
+        return out, tfin
+
+    def composite_fwd(counts, xy_t, con_t, opa, val_t, px, py):
+        out, tfin, tres, dres, nproc = fwd_call(counts, xy_t, con_t, opa, val_t, px, py)
+        return (out, tfin), (xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin)
+
+    def composite_bwd(res, cts):
+        xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin = res
+        g_out, g_tfin = cts
+        dxy, dcon, dopa, dval = bwd_call(
+            xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin, g_out, g_tfin
+        )
+        return None, dxy, dcon, dopa, dval, None, None
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def composite_tiles_pallas(
+    xy: jnp.ndarray,        # [T, K, 2]
+    conic: jnp.ndarray,     # [T, K, 3]
+    opacity: jnp.ndarray,   # [T, K]
+    values: jnp.ndarray,    # [T, K, C]
+    px: jnp.ndarray,        # [T, npix]
+    py: jnp.ndarray,        # [T, npix]
+    cfg: RasterizeConfig,
+    counts: jnp.ndarray | None = None,  # [T] live entries per tile
+) -> TileOutputs:
+    T, K = opacity.shape
+    C = values.shape[-1]
+    npix = px.shape[-1]
+    composite = _make_composite(cfg, T, K, C, npix)
+    if counts is None:
+        counts = jnp.full((T,), K, jnp.int32)
+    out, tfin = composite(
+        counts.astype(jnp.int32).reshape(T, 1),
+        xy.transpose(0, 2, 1),
+        conic.transpose(0, 2, 1),
+        opacity[:, None, :],
+        values.transpose(0, 2, 1),
+        px[:, None, :],
+        py[:, None, :],
+    )
+    return TileOutputs(values=out.transpose(0, 2, 1), final_t=tfin[:, 0, :])

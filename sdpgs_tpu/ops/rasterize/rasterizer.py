@@ -101,7 +101,9 @@ def rasterize(
     if cfg.use_pallas and jax.default_backend() == "tpu":
         from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
 
-        out = composite_tiles_pallas(xy_g, con_g, opa_g, val_g, px, py, cfg)
+        out = composite_tiles_pallas(
+            xy_g, con_g, opa_g, val_g, px, py, cfg, counts=bins.tile_counts
+        )
     else:
         out = composite_xla.composite_tiles_xla(xy_g, con_g, opa_g, val_g, px, py, cfg)
 

@@ -1,0 +1,80 @@
+"""Pallas compositing kernel vs the XLA golden path (interpret mode on CPU;
+the same comparison runs compiled on real TPU via bench/integration)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdpgs_tpu.config import RasterizeConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.core.transforms import build_covariance_3d, normalize_quat
+from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
+from sdpgs_tpu.ops.rasterize.composite_xla import composite_tiles_xla, tile_pixel_coords
+
+
+CFG = RasterizeConfig(tile=16, max_per_tile=128, max_tiles_per_gaussian=16, chunk=32,
+                      chunk_pallas=128, use_pallas=False)
+
+
+def random_payload(rng, T=6, K=128, C=7, npix=256):
+    xy = rng.uniform(0, 96, size=(T, K, 2)).astype(np.float32)
+    # random positive-definite conics
+    a = rng.uniform(0.05, 0.4, size=(T, K)).astype(np.float32)
+    c = rng.uniform(0.05, 0.4, size=(T, K)).astype(np.float32)
+    b = (rng.uniform(-0.5, 0.5, size=(T, K)) * np.sqrt(a * c)).astype(np.float32) * 0.9
+    conic = np.stack([a, b, c], axis=-1)
+    opa = rng.uniform(0.0, 1.0, size=(T, K)).astype(np.float32)
+    vals = rng.normal(size=(T, K, C)).astype(np.float32)
+    px, py = tile_pixel_coords(T, 1, 16)
+    return (jnp.asarray(xy), jnp.asarray(conic), jnp.asarray(opa), jnp.asarray(vals),
+            px, py)
+
+
+def test_pallas_matches_xla_forward(rng):
+    args = random_payload(rng)
+    out_x = composite_tiles_xla(*args, CFG)
+    out_p = composite_tiles_pallas(*args, CFG)
+    np.testing.assert_allclose(out_p.final_t, out_x.final_t, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(out_p.values, out_x.values, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_matches_xla_grads(rng):
+    xy, conic, opa, vals, px, py = random_payload(rng, T=4, K=128)
+    tgt = np.asarray(composite_tiles_xla(xy, conic, opa, vals, px, py, CFG).values)
+
+    def loss_with(fn):
+        def f(xy, conic, opa, vals):
+            out = fn(xy, conic, opa, vals, px, py, CFG)
+            return jnp.mean((out.values - tgt) ** 2) + 0.1 * jnp.mean(out.final_t**2)
+        return f
+
+    gx = jax.grad(loss_with(composite_tiles_xla), argnums=(0, 1, 2, 3))(
+        xy, conic, opa, vals
+    )
+    gp = jax.grad(loss_with(composite_tiles_pallas), argnums=(0, 1, 2, 3))(
+        xy, conic, opa, vals
+    )
+    for a, b, name in zip(gx, gp, ["xy", "conic", "opa", "vals"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3, err_msg=name
+        )
+
+
+def test_pallas_early_termination_consistency(rng):
+    """Opaque near-field wall: early-exit path must still match XLA."""
+    T, K = 2, 128
+    xy = np.tile(np.array([8.0, 8.0], np.float32), (T, K, 1))
+    xy += rng.normal(size=xy.shape).astype(np.float32) * 2.0
+    conic = np.tile(np.array([0.5, 0.0, 0.5], np.float32), (T, K, 1))
+    opa = np.full((T, K), 0.98, np.float32)
+    vals = rng.normal(size=(T, K, 7)).astype(np.float32)
+    px, py = tile_pixel_coords(2, 1, 16)
+    args = (jnp.asarray(xy), jnp.asarray(conic), jnp.asarray(opa), jnp.asarray(vals),
+            px, py)
+    out_x = composite_tiles_xla(*args, CFG)
+    out_p = composite_tiles_pallas(*args, CFG)
+    np.testing.assert_allclose(out_p.values, out_x.values, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_p.final_t, out_x.final_t, atol=1e-6)
