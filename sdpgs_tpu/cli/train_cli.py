@@ -1,0 +1,101 @@
+"""Training CLI: the reference's ``python train.py -s <scene> -m <out>``
+surface (train.py:309-342) over dataclass configs (saved as cfg.json
+instead of the eval()-parsed cfg_args)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from sdpgs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+
+    p = argparse.ArgumentParser(description="SDP-GS-TPU training")
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", default="")
+    p.add_argument("--images", "-i", default="images")
+    p.add_argument("--language_features_name", "-l",
+                   default=ModelConfig.language_features_name)
+    p.add_argument("--resolution", "-r", type=int, default=8)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--nviews", type=int, default=3)
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--capacity", type=int, default=ModelConfig.capacity)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[1000, 2000, 3000, 5000, 10000])
+    p.add_argument("--save_iterations", nargs="+", type=int, default=[5000, 10000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                   default=[5000, 10000])
+    p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--quiet", action="store_true")
+    # optimization overrides (reference per-scene flags, run_llff_mvs.sh)
+    for f in dataclasses.fields(OptimizationConfig):
+        if f.name in ("test_iterations", "save_iterations", "checkpoint_iterations"):
+            continue
+        if isinstance(f.default, bool):
+            p.add_argument(f"--{f.name}", type=lambda s: s.lower() == "true",
+                           default=None)
+        elif isinstance(f.default, (int, float)):
+            p.add_argument(f"--{f.name}", type=type(f.default), default=None)
+    return p
+
+
+def config_from_args(args):
+    from sdpgs_tpu.config import OptimizationConfig, TrainConfig
+
+    cfg = TrainConfig()
+    cfg.seed = args.seed
+    m = cfg.model
+    m.source_path = os.path.abspath(args.source_path)
+    m.model_path = args.model_path
+    m.images = args.images
+    m.language_features_name = args.language_features_name
+    m.resolution = args.resolution
+    m.white_background = args.white_background
+    m.nviews = args.nviews
+    m.sh_degree = args.sh_degree
+    m.capacity = args.capacity
+
+    for f in dataclasses.fields(OptimizationConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg.optim, f.name, v)
+    if args.iterations is not None:
+        cfg.optim.iterations = args.iterations
+    cfg.optim.test_iterations = tuple(args.test_iterations)
+    cfg.optim.save_iterations = tuple(args.save_iterations) + (cfg.optim.iterations,)
+    cfg.optim.checkpoint_iterations = tuple(args.checkpoint_iterations)
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from sdpgs_tpu.config import save_config
+    from sdpgs_tpu.train.loop import Trainer
+
+    if cfg.model.model_path:
+        Path(cfg.model.model_path).mkdir(parents=True, exist_ok=True)
+        save_config(cfg, Path(cfg.model.model_path) / "cfg.json")
+
+    trainer = Trainer(cfg)
+
+    def on_eval(tr, iteration):
+        res = tr.evaluate()
+        if res:
+            print(f"[ITER {iteration}] test PSNR {res['psnr']:.3f} "
+                  f"SSIM {res['ssim']:.4f} over {res['n_views']} views")
+
+    trainer.train(on_eval=on_eval)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

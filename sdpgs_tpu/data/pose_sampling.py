@@ -52,11 +52,12 @@ def poses_avg(poses):
 
 
 def focus_point_fn(poses):
-    """Nearest point to all focal axes (reference pose_utils.py:33-39)."""
+    """Nearest point to all focal axes (reference pose_utils.py:33-39);
+    pinv for robustness when all axes are parallel."""
     directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
     m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
     mt_m = np.transpose(m, [0, 2, 1]) @ m
-    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
+    return np.linalg.pinv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
 
 
 def recenter_poses(poses):
@@ -73,7 +74,7 @@ def transform_poses_pca(poses):
     t = poses[:, :3, 3]
     t_mean = t.mean(axis=0)
     t = t - t_mean
-    eigval, eigvec = np.linalg.eig(t.T @ t)
+    eigval, eigvec = np.linalg.eigh(t.T @ t)
     inds = np.argsort(eigval)[::-1]
     eigvec = eigvec[:, inds]
     rot = eigvec.T
@@ -253,6 +254,11 @@ def generate_random_poses_360(
         rp[:3] = viewmatrix(p - center, up, p)
         rp = np.linalg.inv(transform) @ rp
         rp[:3, 1:3] *= -1
+        # inv(transform) carries the PCA scale into the 3x3 (the reference
+        # keeps it, pose_utils.py:500-502 — projection is scale-invariant,
+        # but normalized rotations make well-formed cameras).
+        s = np.cbrt(abs(np.linalg.det(rp[:3, :3])))
+        rp[:3, :3] /= s
         out.append(np.linalg.inv(rp))
     return np.stack(out, axis=0)
 

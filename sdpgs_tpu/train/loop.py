@@ -1,0 +1,237 @@
+"""Training driver: the reference's ``training()`` (train.py:38-236)
+re-architected around jitted steps.
+
+Slow-path events (densify/prune every 100 iters, opacity reset, eval,
+checkpoint) run as separate jitted functions between hot steps, so the hot
+step compiles once per active SH degree (warmup every 500 iters,
+train.py:85-86) and pseudo-window flavor."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdpgs_tpu.config import TrainConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.data.scene import Scene
+from sdpgs_tpu.losses import psnr as psnr_fn
+from sdpgs_tpu.losses import ssim as ssim_fn
+from sdpgs_tpu.opt.densify import densify_and_prune, reset_opacity
+from sdpgs_tpu.ops.knn import knn
+from sdpgs_tpu.render import render
+from sdpgs_tpu.train.state import TrainState, save_checkpoint
+from sdpgs_tpu.train.step import PseudoInputs, ViewBatch, make_train_step
+
+
+def build_view_batch(cams, indices) -> ViewBatch:
+    """Stack selected train views into a device batch."""
+    sel = [cams[i] for i in indices]
+    H, W = sel[0].height, sel[0].width
+    zeros_img = np.zeros((3, H, W), np.float32)
+    zeros_map = np.zeros((H, W), np.float32)
+    batch_cam = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[c.camera for c in sel]
+    )
+    return ViewBatch(
+        camera=batch_cam,
+        image=jnp.asarray(np.stack([c.image if c.image is not None else zeros_img
+                                    for c in sel])),
+        depth_mono=jnp.asarray(np.stack(
+            [c.depth_mono if c.depth_mono is not None else zeros_map for c in sel]
+        )),
+        feature=jnp.asarray(np.stack(
+            [c.point_feature if c.point_feature is not None else zeros_img
+             for c in sel]
+        )),
+        seg_map=jnp.asarray(np.stack(
+            [c.seg_map if c.seg_map is not None else zeros_map.astype(np.int32)
+             for c in sel]
+        )),
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, scene: Optional[Scene] = None,
+                 mono_depth_fn=None):
+        self.cfg = cfg
+        self.scene = scene if scene is not None else Scene(cfg)
+        self.mono_depth_fn = mono_depth_fn
+        self.state = TrainState.create(self.scene.gaussians, seed=cfg.seed)
+        self.bg = (
+            jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+        )
+        self.prototypes = jnp.asarray(self.scene.prototypes)
+        self.spatial_lr_scale = jnp.float32(self.scene.cameras_extent)
+        self._steps: Dict = {}
+        self._densify = None
+        self._rng = np.random.default_rng(cfg.seed)
+        self._view_stack: list = []
+        self._pseudo_stack: list = []
+        # static pseudo-branch inputs
+        tc = self.scene.train_cameras
+        self._train_depths = jnp.asarray(np.stack(
+            [c.depth_mono if c.depth_mono is not None
+             else np.zeros((c.height, c.width), np.float32) for c in tc]
+        ))
+        self._K = jnp.asarray(tc[0].intrinsics())
+        self._R_train = jnp.stack([c.camera.view[:3, :3] for c in tc])
+        self._t_train = jnp.stack([c.camera.view[:3, 3] for c in tc])
+
+    # ---- step-function cache -------------------------------------------
+    def _step_fn(self, sh_degree: int, with_pseudo: bool):
+        key = (sh_degree, with_pseudo)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.cfg, sh_degree, with_pseudo=with_pseudo,
+                mono_depth_fn=self.mono_depth_fn,
+            )
+        return self._steps[key]
+
+    def _next_view(self) -> int:
+        """Random camera pop without replacement (train.py:89-92)."""
+        if not self._view_stack:
+            self._view_stack = list(range(len(self.scene.train_cameras)))
+        i = self._rng.integers(0, len(self._view_stack))
+        return self._view_stack.pop(int(i))
+
+    def _next_pseudo(self) -> int:
+        if not self._pseudo_stack:
+            self._pseudo_stack = list(range(len(self.scene.pseudo_poses)))
+        i = self._rng.integers(0, len(self._pseudo_stack))
+        return self._pseudo_stack.pop(int(i))
+
+    # ---- events --------------------------------------------------------
+    def _maybe_densify(self, iteration: int):
+        opt = self.cfg.optim
+        if iteration >= opt.densify_until_iter:
+            return None
+        if iteration <= opt.densify_from_iter or iteration % opt.densification_interval != 0:
+            return None
+        g = self.state.gaussians
+        run_prox = iteration < opt.proximity_until_iter
+        knn_dist = knn_idx = None
+        if run_prox:
+            d2, idx = knn(g.xyz, k=3, mask=g.alive)
+            finite = jnp.isfinite(d2)
+            knn_dist = jnp.sum(jnp.where(finite, d2, 0), -1) / jnp.maximum(
+                finite.sum(-1), 1
+            )
+            knn_idx = idx
+        key, sub = jax.random.split(self.state.rng)
+        g2, opt_state, stats, info = densify_and_prune(
+            g, self.state.opt_state, self.state.stats, sub,
+            grad_threshold=opt.densify_grad_threshold,
+            min_opacity=opt.prune_threshold,
+            extent=self.scene.cameras_extent,
+            percent_dense=opt.percent_dense,
+            run_proximity=run_prox,
+            knn_dist=knn_dist,
+            knn_idx=knn_idx,
+        )
+        self.state = self.state.replace(
+            gaussians=g2, opt_state=opt_state, stats=stats, rng=key
+        )
+        return info
+
+    def _maybe_reset_opacity(self, iteration: int):
+        opt = self.cfg.optim
+        if (
+            iteration > opt.start_sample_pseudo
+            and (iteration - opt.start_sample_pseudo - 1) % opt.opacity_reset_interval == 0
+        ):
+            g, opt_state = reset_opacity(self.state.gaussians, self.state.opt_state)
+            self.state = self.state.replace(gaussians=g, opt_state=opt_state)
+
+    # ---- main loop -----------------------------------------------------
+    def train(self, iterations: Optional[int] = None, log_every: int = 100,
+              on_eval=None):
+        opt = self.cfg.optim
+        iterations = iterations or opt.iterations
+        sh_degree = 0
+        history = []
+        t_start = time.time()
+        for iteration in range(1, iterations + 1):
+            if iteration % 500 == 0:
+                sh_degree = min(sh_degree + 1, self.cfg.model.sh_degree)
+
+            in_pseudo = (
+                opt.start_sample_pseudo < iteration < opt.end_sample_pseudo
+                and iteration % opt.sample_pseudo_interval == 0
+            )
+            batch = build_view_batch(self.scene.train_cameras, [self._next_view()])
+            step = self._step_fn(sh_degree, in_pseudo)
+            if in_pseudo:
+                cam, R, T = self.scene.pseudo_camera(self._next_pseudo())
+                pseudo = PseudoInputs(
+                    camera=cam,
+                    train_depths=self._train_depths,
+                    K=self._K,
+                    R_train=self._R_train,
+                    t_train=self._t_train,
+                    R_pseudo=cam.view[:3, :3],
+                    t_pseudo=cam.view[:3, 3],
+                )
+                self.state, metrics = step(
+                    self.state, batch, self.prototypes, self.bg,
+                    self.spatial_lr_scale, pseudo,
+                )
+            else:
+                self.state, metrics = step(
+                    self.state, batch, self.prototypes, self.bg,
+                    self.spatial_lr_scale,
+                )
+
+            self._maybe_densify(iteration)
+            self._maybe_reset_opacity(iteration)
+
+            if iteration % log_every == 0 or iteration == iterations:
+                m = jax.device_get(metrics)
+                rate = iteration / (time.time() - t_start)
+                print(
+                    f"[{iteration}/{iterations}] loss={float(m.loss):.5f} "
+                    f"l1={float(m.l1):.5f} psnr={float(m.psnr):.2f} "
+                    f"alive={int(m.num_alive)} overflow={int(m.overflow)} "
+                    f"({rate:.2f} it/s)",
+                    flush=True,
+                )
+                history.append(
+                    {"iter": iteration, "loss": float(m.loss),
+                     "psnr": float(m.psnr), "alive": int(m.num_alive)}
+                )
+
+            if iteration in opt.test_iterations and on_eval is not None:
+                on_eval(self, iteration)
+            if self.scene.model_path and iteration in opt.save_iterations:
+                self.scene.save(iteration, self.state.gaussians)
+            if self.scene.model_path and iteration in opt.checkpoint_iterations:
+                try:
+                    save_checkpoint(
+                        Path(self.scene.model_path) / "checkpoints",
+                        self.state, iteration,
+                    )
+                except Exception as e:  # orbax quirks shouldn't kill training
+                    print(f"checkpoint save failed: {e}")
+        return history
+
+    # ---- evaluation ----------------------------------------------------
+    def evaluate(self, cameras=None, sh_degree: Optional[int] = None) -> dict:
+        """PSNR/SSIM over held-out views (training_report, train.py:263-307)."""
+        cams = cameras if cameras is not None else self.scene.test_cameras
+        if not cams:
+            return {}
+        deg = self.cfg.model.sh_degree if sh_degree is None else sh_degree
+        psnrs, ssims = [], []
+        for c in cams:
+            out = render(c.camera, self.state.gaussians, self.cfg.raster, self.bg, deg)
+            img = jnp.clip(out.color.transpose(2, 0, 1), 0, 1)
+            gt = jnp.clip(jnp.asarray(c.image), 0, 1)
+            psnrs.append(float(psnr_fn(img, gt)))
+            ssims.append(float(ssim_fn(img, gt)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+                "n_views": len(cams)}
