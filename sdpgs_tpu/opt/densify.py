@@ -43,8 +43,12 @@ class DensifyStats:
 
 
 def init_stats(capacity: int) -> DensifyStats:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyStats(xyz_gradient_accum=z, denom=z, max_radii2d=z)
+    # distinct buffers: donated jits reject aliased arguments
+    return DensifyStats(
+        xyz_gradient_accum=jnp.zeros((capacity,), jnp.float32),
+        denom=jnp.zeros((capacity,), jnp.float32),
+        max_radii2d=jnp.zeros((capacity,), jnp.float32),
+    )
 
 
 def add_densification_stats(

@@ -207,4 +207,6 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step_fn)
+    # Donating the state buffers lets XLA update the ~100MB of params/moments
+    # in place instead of copying them every step.
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -96,8 +96,8 @@ def test_pseudo_step_finite(rng):
         R_pseudo=pseudo_cam.view[:3, :3],
         t_pseudo=pseudo_cam.view[:3, 3],
     )
-    before = state.gaussians.xyz
+    before = np.asarray(state.gaussians.xyz).copy()  # state is donated
     state, m = step(state, batch, protos, bg, jnp.float32(1.0), pseudo)
     assert np.isfinite(float(m.loss))
     assert np.all(np.isfinite(np.asarray(state.gaussians.xyz)))
-    assert float(jnp.abs(state.gaussians.xyz - before).sum()) > 0.0
+    assert float(np.abs(np.asarray(state.gaussians.xyz) - before).sum()) > 0.0
