@@ -115,12 +115,24 @@ def bin_gaussians(
     tile_x = xmin[:, None] + d % rw
     tile_y = ymin[:, None] + d // rw
     entry_valid = valid_s[:, None] & (d < count[:, None])
-    tid = jnp.where(entry_valid, tile_y * tiles_x + tile_x, jnp.int32(num_tiles))
+    tid = jnp.where(entry_valid, tile_y * tiles_x + tile_x, jnp.int32(-1))
 
     clipped = jnp.sum(jnp.where(valid_s, jnp.maximum(count - D, 0), 0)).astype(jnp.int32)
     num_entries = jnp.sum(jnp.where(valid_s, jnp.minimum(count, D), 0)).astype(jnp.int32)
 
-    # --- 3. within-tile rank: chunked mask+cumsum, one-hot dot readout ------
+    # --- 3. within-tile rank ------------------------------------------------
+    use_kernel = jax.default_backend() == "tpu" and P % 256 == 0
+    if use_kernel:
+        from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
+
+        rank, counts_k = compute_ranks_pallas(packed_s, tid, num_tiles, tiles_x)
+        overflow = jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32)
+        tile_counts = jnp.minimum(counts_k, K)
+        return _scatter_table(
+            tid, rank, order, P, D, K, num_tiles, entry_valid,
+            tile_counts, overflow, clipped, num_entries,
+        )
+
     Tc = _tile_chunk(num_tiles, P)
     pad_tiles = (-num_tiles) % Tc
     tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32)
@@ -160,7 +172,14 @@ def bin_gaussians(
         chunk_rank, init, (ctx, cty, tstart)
     )
     tile_counts = jnp.minimum(counts.reshape(-1)[:num_tiles], K)
+    return _scatter_table(
+        tid, rank, order, P, D, K, num_tiles, entry_valid,
+        tile_counts, overflow.astype(jnp.int32), clipped, num_entries,
+    )
 
+
+def _scatter_table(tid, rank, order, P, D, K, num_tiles, entry_valid,
+                   tile_counts, overflow, clipped, num_entries) -> Binning:
     # --- 4. dense table via one bounded scatter -----------------------------
     keep = entry_valid & (rank < K)
     slot = jnp.where(keep, tid * K + rank, jnp.int32(num_tiles * K))  # OOB -> drop
@@ -171,7 +190,7 @@ def bin_gaussians(
     return Binning(
         tile_index=table.reshape(num_tiles, K),
         tile_counts=tile_counts,
-        overflow=overflow.astype(jnp.int32),
+        overflow=overflow,
         clipped=clipped,
         num_entries=num_entries,
     )
