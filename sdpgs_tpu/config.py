@@ -54,6 +54,7 @@ class ModelConfig:
     nviews: int = 3
     capacity: int = 1 << 17        # static Gaussian slot count (TPU-only knob)
     init_points: int = 10_000      # random init size when no MVS cloud exists
+    dpt_weights: str = ""          # .npz from tools/convert_dpt.py (MiDaS role)
 
 
 @dataclass

@@ -61,6 +61,10 @@ class Trainer:
                  mono_depth_fn=None):
         self.cfg = cfg
         self.scene = scene if scene is not None else Scene(cfg)
+        if mono_depth_fn is None and cfg.model.dpt_weights:
+            from sdpgs_tpu.models.depth_estimator import make_mono_depth_fn
+
+            mono_depth_fn = make_mono_depth_fn(cfg.model.dpt_weights)
         self.mono_depth_fn = mono_depth_fn
         self.state = TrainState.create(self.scene.gaussians, seed=cfg.seed)
         self.bg = (

@@ -1,0 +1,63 @@
+"""DPT architecture equivalence vs the torch reference implementation with
+random weights — validates the port and the weight converter without any
+pretrained download."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from sdpgs_tpu.models.dpt import DPTArch, dpt_forward
+
+
+def build_torch_tiny():
+    from transformers import DPTConfig, DPTForDepthEstimation
+
+    cfg = DPTConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=64, image_size=96, patch_size=16,
+        fusion_hidden_size=16, neck_hidden_sizes=[8, 12, 24, 32],
+        backbone_out_indices=[0, 1, 2, 3], is_hybrid=False,
+        reassemble_factors=[4, 2, 1, 0.5],
+    )
+    torch.manual_seed(0)
+    return DPTForDepthEstimation(cfg).eval()
+
+
+def test_dpt_matches_torch_random_weights():
+    model = build_torch_tiny()
+    params = {k: jnp.asarray(v.detach().numpy())
+              for k, v in model.state_dict().items()}
+    arch = DPTArch.tiny()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).predicted_depth.numpy()
+    out = np.asarray(dpt_forward(params, jnp.asarray(x), arch))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_dpt_nonsquare_pos_interp():
+    """Non-square input exercises position-embedding interpolation (the
+    torch reference cannot reshape non-square grids in this path, so this
+    checks shape/finiteness/differentiability of our port only)."""
+    import jax
+
+    model = build_torch_tiny()
+    params = {k: jnp.asarray(v.detach().numpy())
+              for k, v in model.state_dict().items()}
+    arch = DPTArch.tiny()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 96, 128)).astype(np.float32))
+    out = dpt_forward(params, x, arch)
+    assert out.shape == (1, 96, 128)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # gradients flow back to the image (the reference keeps MiDaS
+    # differentiable w.r.t. the rendered pseudo view, depth_utils.py:38-44)
+    g = jax.grad(lambda im: jnp.sum(dpt_forward(params, im, arch)))(x)
+    assert float(jnp.abs(g).sum()) > 0.0
