@@ -146,7 +146,9 @@ def align_depth_segments(
             continue
         seg_mask = seg == sid
         # neighbor inheritance over large connected components
-        labels, n_comp = _connected_components(seg_mask)
+        from sdpgs_tpu import native
+
+        labels, n_comp = native.connected_components(seg_mask)
         neighbors: list = []
         for lab in range(1, n_comp + 1):
             region = labels == lab

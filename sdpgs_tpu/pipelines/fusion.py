@@ -144,15 +144,15 @@ def fuse_depths(
 
 
 def voxel_downsample(points: np.ndarray, colors: np.ndarray, voxel: float):
-    """Average points/colors per voxel (open3d replacement)."""
+    """Average points/colors per voxel (open3d replacement); exact cell
+    identity via unique rows (hashes would merge distinct cells)."""
     q = np.floor(points / voxel).astype(np.int64)
-    key = (q[:, 0] * 73856093) ^ (q[:, 1] * 19349663) ^ (q[:, 2] * 83492791)
-    order = np.argsort(key)
-    key_s = key[order]
-    boundaries = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1, [len(key_s)]])
-    out_p, out_c = [], []
-    for i in range(len(boundaries) - 1):
-        sl = order[boundaries[i] : boundaries[i + 1]]
-        out_p.append(points[sl].mean(0))
-        out_c.append(colors[sl].mean(0))
-    return np.stack(out_p), np.stack(out_c)
+    _, inv, counts = np.unique(q, axis=0, return_inverse=True, return_counts=True)
+    m = counts.shape[0]
+    out_p = np.zeros((m, 3), np.float64)
+    out_c = np.zeros((m, 3), np.float64)
+    np.add.at(out_p, inv, points)
+    np.add.at(out_c, inv, colors)
+    return (out_p / counts[:, None]).astype(np.float32), (
+        out_c / counts[:, None]
+    ).astype(np.float32)
