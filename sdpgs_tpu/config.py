@@ -138,15 +138,17 @@ def _to_dict(obj):
 
 
 def _from_dict(cls, data):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
             continue
         v = data[f.name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[f.name] = _from_dict(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _from_dict(ftype, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

@@ -19,7 +19,7 @@ from sdpgs_tpu.config import RasterizeConfig
 from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.ops.rasterize import binning as binning_lib
 from sdpgs_tpu.ops.rasterize import composite_xla
-from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed, preprocess
+from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed, preprocess, preprocess_fused
 
 
 class RenderOutput(NamedTuple):
@@ -51,8 +51,14 @@ def rasterize(
     cfg: RasterizeConfig,
     means2d_offset: Optional[jnp.ndarray] = None,
     feature_weight: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
+    quat: Optional[jnp.ndarray] = None,
 ) -> RenderOutput:
     """Differentiable render of one view.
+
+    When ``scale``/``quat`` (activated scale + normalized quaternion) are
+    given, the fused scalar-expanded preprocess is used and ``cov3d`` is
+    ignored — batched tiny-matrix einsums lower poorly on TPU.
 
     ``means2d_offset`` is an all-zeros [P, 2] array added to the projected
     screen centers; taking ``jax.grad`` w.r.t. it yields the per-Gaussian
@@ -64,7 +70,12 @@ def rasterize(
     (the reference's per-Gaussian ``confidence``,
     gaussian_renderer/__init__.py:227-241).
     """
-    prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
+    if scale is not None:
+        prep = preprocess_fused(
+            xyz, scale, quat, cam, alive, near=cfg.near, low_pass=cfg.low_pass
+        )
+    else:
+        prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
     mean2d = prep.mean2d
     if means2d_offset is not None:
         mean2d = mean2d + means2d_offset
@@ -85,15 +96,27 @@ def rasterize(
 
     if feature_weight is not None:
         feature = feature * feature_weight[:, None]
-    values = jnp.concatenate(
-        [color, prep.depth[:, None], feature], axis=-1
-    )  # [P, 7]
 
+    # One packed payload -> a single gather (and a single scatter-add in the
+    # backward) instead of four: TPU gathers are per-row, so batching the
+    # columns halves the cost.
+    payload = jnp.concatenate(
+        [
+            mean2d,                                   # 0:2
+            prep.conic,                               # 2:5
+            (opacity * prep.valid)[:, None],          # 5
+            color,                                    # 6:9
+            prep.depth[:, None],                      # 9
+            feature,                                  # 10:13
+        ],
+        axis=-1,
+    )
     idx = bins.tile_index                     # [T, K]
-    xy_g = _pad_row(mean2d)[idx]              # [T, K, 2]
-    con_g = _pad_row(prep.conic)[idx]
-    opa_g = _pad_row(opacity * prep.valid)[idx]
-    val_g = _pad_row(values)[idx]             # [T, K, 7]
+    gathered = _pad_row(payload)[idx]         # [T, K, 13]
+    xy_g = gathered[..., 0:2]
+    con_g = gathered[..., 2:5]
+    opa_g = gathered[..., 5]
+    val_g = gathered[..., 6:13]
 
     tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
     px, py = composite_xla.tile_pixel_coords(tiles_x, tiles_y, cfg.tile)

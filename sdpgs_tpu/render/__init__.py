@@ -34,7 +34,6 @@ def render(
     """Render one view: SH -> RGB (python-side, the reference default
     ``convert_SHs_python=True``), degree-0 normalized language feature,
     extended rasterize."""
-    cov3d = build_covariance_3d(g.get_scaling(), g.get_rotation(), scaling_modifier)
     color = (
         override_color
         if override_color is not None
@@ -47,7 +46,7 @@ def render(
     )
     return rasterize(
         g.xyz,
-        cov3d,
+        None,
         g.get_opacity()[:, 0],
         color,
         feature,
@@ -57,6 +56,8 @@ def render(
         cfg,
         means2d_offset=means2d_offset,
         feature_weight=confidence[:, 0] if confidence is not None else None,
+        scale=g.get_scaling() * scaling_modifier,
+        quat=g.get_rotation(),
     )
 
 
@@ -70,11 +71,11 @@ def render_for_depth(
     """Depth-only rendering with opacity frozen at 0.95 and white colors
     (reference gaussian_renderer/__init__.py:18-95): geometry gradients only."""
     opacity = jnp.full((g.capacity,), 0.95, jnp.float32) * g.alive
-    cov3d = build_covariance_3d(g.get_scaling(), g.get_rotation())
     color = jnp.ones((g.capacity, 3), jnp.float32)
     feature = jax.lax.stop_gradient(g.language_feature_normalized())
     return rasterize(
-        g.xyz, cov3d, opacity, color, feature, g.alive, cam, bg, cfg
+        g.xyz, None, opacity, color, feature, g.alive, cam, bg, cfg,
+        scale=g.get_scaling(), quat=g.get_rotation(),
     )
 
 
@@ -88,11 +89,10 @@ def render_for_opa(
     """Opacity-only rendering with geometry detached
     (reference gaussian_renderer/__init__.py:96-181)."""
     xyz = jax.lax.stop_gradient(g.xyz)
-    cov3d = jax.lax.stop_gradient(
-        build_covariance_3d(g.get_scaling(), g.get_rotation())
-    )
     color = jax.lax.stop_gradient(g.colors_from_sh(cam.cam_pos, active_sh_degree))
     feature = jax.lax.stop_gradient(g.language_feature_normalized())
     return rasterize(
-        xyz, cov3d, g.get_opacity()[:, 0], color, feature, g.alive, cam, bg, cfg
+        xyz, None, g.get_opacity()[:, 0], color, feature, g.alive, cam, bg, cfg,
+        scale=jax.lax.stop_gradient(g.get_scaling()),
+        quat=jax.lax.stop_gradient(g.get_rotation()),
     )
