@@ -297,3 +297,66 @@ def generate_spiral_path(
         rp[:3, 3] /= scale
         out.append(np.linalg.inv(rp))
     return np.stack(out, axis=0)
+
+
+def generate_ellipse_path(
+    Rs: Sequence[np.ndarray],
+    Ts: Sequence[np.ndarray],
+    n_frames: int = 600,
+    const_speed: bool = True,
+    z_variation: float = 0.0,
+    z_phase: float = 0.0,
+) -> np.ndarray:
+    """360 ellipse render path (reference pose_utils.py:194-257): PCA-align
+    the capture, walk an ellipse around the focus point, optionally
+    resampled to constant speed via the step-function inverter. Returns
+    [N, 4, 4] W2C."""
+    from sdpgs_tpu.data.stepfun import sample_np
+
+    poses = np.stack([_c2w_from_camera(R, T) for R, T in zip(Rs, Ts)], 0)
+    poses3, transform = transform_poses_pca(poses)
+
+    center = focus_point_fn(poses3)
+    offset = np.array([center[0], center[1], 0])
+    sc = np.percentile(np.abs(poses3[:, :3, 3] - offset), 90, axis=0)
+    low = -sc + offset
+    high = sc + offset
+    z_low = np.percentile(poses3[:, :3, 3], 10, axis=0)
+    z_high = np.percentile(poses3[:, :3, 3], 90, axis=0)
+
+    def get_positions(theta):
+        return np.stack(
+            [
+                low[0] + (high - low)[0] * (np.cos(theta) * 0.5 + 0.5),
+                low[1] + (high - low)[1] * (np.sin(theta) * 0.5 + 0.5),
+                z_variation
+                * (z_low[2] + (z_high - z_low)[2]
+                   * (np.cos(theta + 2 * np.pi * z_phase) * 0.5 + 0.5)),
+            ],
+            -1,
+        )
+
+    theta = np.linspace(0, 2.0 * np.pi, n_frames + 1, endpoint=True)
+    positions = get_positions(theta)
+    if const_speed:
+        lengths = np.linalg.norm(positions[1:] - positions[:-1], axis=-1)
+        theta = sample_np(None, theta, np.log(np.maximum(lengths, 1e-12)),
+                          n_frames + 1)
+        positions = get_positions(theta)
+    positions = positions[:-1]
+
+    avg_up = poses3[:, :3, 1].mean(0)
+    avg_up = avg_up / np.linalg.norm(avg_up)
+    ind_up = np.argmax(np.abs(avg_up))
+    up = np.eye(3)[ind_up] * np.sign(avg_up[ind_up])
+
+    out = []
+    for pos in positions:
+        rp = np.eye(4)
+        rp[:3] = viewmatrix(pos - center, up, pos)
+        rp = np.linalg.inv(transform) @ rp
+        rp[:3, 1:3] *= -1
+        s = np.cbrt(abs(np.linalg.det(rp[:3, :3])))
+        rp[:3, :3] /= s
+        out.append(np.linalg.inv(rp))
+    return np.stack(out, axis=0)

@@ -1,0 +1,77 @@
+"""Multi-chip sharding: full train step over a (data, gauss) mesh on the
+8-device virtual CPU mesh (SURVEY.md §4 item 5), plus the graft dry run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_mesh_shapes():
+    from sdpgs_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=-1, gauss=2)
+    assert mesh.shape["data"] * mesh.shape["gauss"] == len(jax.devices())
+    assert mesh.shape["gauss"] == 2
+
+
+def test_sharded_train_step(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdpgs_tpu.config import RasterizeConfig, TrainConfig
+    from sdpgs_tpu.core.camera import Camera
+    from sdpgs_tpu.core.gaussians import create_from_points
+    from sdpgs_tpu.parallel import make_mesh, shard_batch, shard_train_state
+    from sdpgs_tpu.train.state import TrainState
+    from sdpgs_tpu.train.step import ViewBatch, make_train_step
+
+    mesh = make_mesh(data=4, gauss=2)
+    cfg = TrainConfig()
+    cfg.raster = RasterizeConfig(tile=16, max_per_tile=64,
+                                 max_tiles_per_gaussian=8, chunk=32,
+                                 use_pallas=False)
+
+    n, cap = 128, 256
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.4 + np.array([0, 0, 3.0])
+    g = create_from_points(pts.astype(np.float32),
+                           rng.uniform(size=(n, 3)).astype(np.float32), cap,
+                           init_scale=np.full(n, 0.01))
+    V = 4
+    cams = [Camera.create(R=np.eye(3), T=np.array([0.1 * i, 0, 0]), fovx=0.9,
+                          fovy=0.7, width=48, height=32) for i in range(V)]
+    batch = ViewBatch(
+        camera=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams),
+        image=jnp.asarray(rng.uniform(size=(V, 3, 32, 48)).astype(np.float32)),
+        depth_mono=jnp.asarray(rng.uniform(1, 5, size=(V, 32, 48)).astype(np.float32)),
+        feature=jnp.zeros((V, 3, 32, 48)),
+        seg_map=jnp.zeros((V, 32, 48), np.int32),
+    )
+    state = TrainState.create(g)
+    with mesh:
+        state = shard_train_state(state, mesh)
+        batch = shard_batch(batch, mesh)
+        step = make_train_step(cfg, sh_degree=1)
+        state, metrics = step(state, batch, jnp.ones((4, 3)), jnp.zeros(3),
+                              jnp.float32(1.0))
+        jax.block_until_ready(state)
+    assert np.isfinite(float(metrics.loss))
+    # moments stayed sharded over 'gauss'
+    sh = state.opt_state.mu["xyz"].sharding
+    assert "gauss" in getattr(sh, "spec", ())[0:1] or sh.is_fully_replicated is False
+
+
+def test_graft_dryrun():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", Path(__file__).parents[1] / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
