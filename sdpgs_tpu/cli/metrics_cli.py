@@ -11,12 +11,16 @@ def main(argv=None):
     p.add_argument("--lpips_weights", default=None,
                    help=".npz from tools/convert_lpips.py")
     p.add_argument("--masks", default=None, help="DTU object-mask dir")
+    p.add_argument("--aggregate", default=None,
+                   help="aggregate per-scene results.json under this root")
     args = p.parse_args(argv)
 
-    from sdpgs_tpu.eval.metrics import evaluate_model_paths
+    from sdpgs_tpu.eval.metrics import aggregate_results, evaluate_model_paths
 
     evaluate_model_paths(args.model_paths, lpips_weights=args.lpips_weights,
                          masks_root=args.masks)
+    if args.aggregate:
+        aggregate_results(args.aggregate)
 
 
 if __name__ == "__main__":

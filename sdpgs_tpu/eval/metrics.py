@@ -132,3 +132,27 @@ def evaluate_model_paths(model_paths: List[str], lpips_weights=None,
                   f"LPIPS {res['summary']['LPIPS']}")
         (scene_dir / "results.json").write_text(json.dumps(full, indent=2))
         (scene_dir / "per_view.json").write_text(json.dumps(per_view, indent=2))
+
+
+def aggregate_results(root) -> Dict:
+    """Mean metrics over every scene's results.json under ``root`` (the
+    reference pipeline ends with a ``metric_.py`` aggregation step that is
+    not vendored; this is the obvious intent). Writes
+    ``<root>/results_all.json``."""
+    root = Path(root)
+    rows: Dict[str, Dict[str, list]] = {}
+    for res in sorted(root.glob("*/results.json")):
+        data = json.loads(res.read_text())
+        for method, metrics in data.items():
+            bucket = rows.setdefault(method, {})
+            for k, v in metrics.items():
+                if v is not None:
+                    bucket.setdefault(k, []).append(v)
+    summary = {
+        method: {k: float(np.mean(v)) for k, v in ms.items()}
+        for method, ms in rows.items()
+    }
+    (root / "results_all.json").write_text(json.dumps(summary, indent=2))
+    for method, ms in summary.items():
+        print(method, " ".join(f"{k}={v:.4f}" for k, v in ms.items()))
+    return summary
