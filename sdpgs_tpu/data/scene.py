@@ -87,9 +87,20 @@ class Scene:
         self.model_path = m.model_path
         stype = detect_scene_type(m.source_path)
         dataset_flavor = self._flavor(m.source_path)
+        # Prefer pre-downsampled image folders (mip-NeRF-360 convention:
+        # images_2/images_4/images_8) when one matches the resolution divider
+        # (reference dataset_readers mipnerf360 path). load_camera's resize
+        # then becomes a no-op while intrinsics still rescale.
+        images_dir = m.images
+        if (
+            stype == "colmap"
+            and m.resolution > 1
+            and (Path(m.source_path) / f"{m.images}_{m.resolution}").exists()
+        ):
+            images_dir = f"{m.images}_{m.resolution}"
         if stype == "colmap":
             info = read_colmap_scene(
-                m.source_path, images=m.images, features=m.language_features_name,
+                m.source_path, images=images_dir, features=m.language_features_name,
                 eval=m.eval, n_views=m.nviews,
                 dataset="DTU" if dataset_flavor == "dtu" else "LLFF",
                 seed=cfg.seed,

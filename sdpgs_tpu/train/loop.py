@@ -77,6 +77,13 @@ class Trainer:
         self._rng = np.random.default_rng(cfg.seed)
         self._view_stack: list = []
         self._pseudo_stack: list = []
+        # Device-resident single-view batches built once: re-staging ~2MB of
+        # images from host every iteration costs more than the step itself
+        # at TPU speeds.
+        self._view_batches = [
+            build_view_batch(self.scene.train_cameras, [i])
+            for i in range(len(self.scene.train_cameras))
+        ]
         # static pseudo-branch inputs
         tc = self.scene.train_cameras
         self._train_depths = jnp.asarray(np.stack(
@@ -168,7 +175,7 @@ class Trainer:
                 opt.start_sample_pseudo < iteration < opt.end_sample_pseudo
                 and iteration % opt.sample_pseudo_interval == 0
             )
-            batch = build_view_batch(self.scene.train_cameras, [self._next_view()])
+            batch = self._view_batches[self._next_view()]
             step = self._step_fn(sh_degree, in_pseudo)
             if in_pseudo:
                 cam, R, T = self.scene.pseudo_camera(self._next_pseudo())
