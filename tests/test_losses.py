@@ -1,0 +1,134 @@
+"""Loss semantics vs independent torch implementations of the reference
+formulas (loss_utils.py) — validates the ports numerically."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from sdpgs_tpu.losses import (
+    depth_pearson_loss,
+    l1_loss,
+    loss_feature_metric,
+    pearson_corrcoef,
+    ssim,
+)
+from sdpgs_tpu.losses.depth import loss_depth_smoothness, segment_pearson_loss
+
+
+def torch_pearson(x, y):
+    x = torch.as_tensor(x).flatten()
+    y = torch.as_tensor(y).flatten()
+    xm = x - x.mean()
+    ym = y - y.mean()
+    return float((xm * ym).sum() / torch.sqrt((xm**2).sum() * (ym**2).sum()))
+
+
+def test_pearson_matches(rng):
+    x = rng.normal(size=500).astype(np.float32)
+    y = 0.5 * x + rng.normal(size=500).astype(np.float32)
+    ours = float(pearson_corrcoef(jnp.asarray(x), jnp.asarray(y)))
+    assert ours == pytest.approx(torch_pearson(x, y), abs=1e-5)
+
+
+def test_depth_pearson_min_branch(rng):
+    d = rng.uniform(1, 10, (20, 30)).astype(np.float32)
+    # mono equal to depth: direct branch correlates perfectly -> loss ~0
+    out = float(depth_pearson_loss(jnp.asarray(d), jnp.asarray(d)))
+    assert out == pytest.approx(0.0, abs=1e-5)
+    # mono = inverse-depth style: disparity branch should win
+    mono = 200.0 - 1.0 / d
+    out2 = float(depth_pearson_loss(jnp.asarray(d), jnp.asarray(mono)))
+    assert out2 < 0.05
+
+
+def test_ssim_matches_reference_formula(rng):
+    """Torch re-implementation of the reference SSIM (loss_utils.py:119-163)
+    with the same 11x11 sigma-1.5 window."""
+    import torch.nn.functional as F
+
+    img1 = rng.uniform(size=(3, 40, 50)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(size=img1.shape).astype(np.float32) * 0.1, 0, 1)
+
+    def gaussian(ws, sigma):
+        g = torch.tensor([np.exp(-((x - ws // 2) ** 2) / (2 * sigma**2))
+                          for x in range(ws)], dtype=torch.float32)
+        return g / g.sum()
+
+    g1 = gaussian(11, 1.5).unsqueeze(1)
+    window = (g1 @ g1.t()).expand(3, 1, 11, 11).contiguous()
+    t1 = torch.from_numpy(img1)[None]
+    t2 = torch.from_numpy(img2)[None]
+    mu1 = F.conv2d(t1, window, padding=5, groups=3)
+    mu2 = F.conv2d(t2, window, padding=5, groups=3)
+    s1 = F.conv2d(t1 * t1, window, padding=5, groups=3) - mu1**2
+    s2 = F.conv2d(t2 * t2, window, padding=5, groups=3) - mu2**2
+    s12 = F.conv2d(t1 * t2, window, padding=5, groups=3) - mu1 * mu2
+    C1, C2 = 0.01**2, 0.03**2
+    ref = float((((2 * mu1 * mu2 + C1) * (2 * s12 + C2))
+                 / ((mu1**2 + mu2**2 + C1) * (s1 + s2 + C2))).mean())
+    ours = float(ssim(jnp.asarray(img1), jnp.asarray(img2)))
+    assert ours == pytest.approx(ref, abs=2e-4)
+
+
+def test_feature_metric_matches_reference_formula(rng):
+    """Torch re-implementation of loss_feature_metric (loss_utils.py:251-307)."""
+    import torch.nn.functional as F
+
+    H, W, S = 12, 16, 5
+    feat = rng.normal(size=(3, H, W)).astype(np.float32)
+    gt_feat = rng.normal(size=(3, H, W)).astype(np.float32)
+    protos = rng.normal(size=(S, 3)).astype(np.float32)
+    seg = rng.integers(0, S, (H, W)).astype(np.int32)
+
+    lf = torch.from_numpy(feat).permute(1, 2, 0).reshape(-1, 3)
+    z_pred = F.cosine_similarity(lf.unsqueeze(1), torch.from_numpy(protos).unsqueeze(0), dim=2)
+    p_k = torch.exp(z_pred) / torch.exp(z_pred).sum(1, keepdim=True)
+    one_hot = torch.zeros_like(z_pred)
+    one_hot.scatter_(1, torch.from_numpy(seg.reshape(-1, 1).astype(np.int64)), 1)
+    eps = 1e-3
+    q_k = (1 - eps) * one_hot + eps / S
+    ce = float((-(q_k * torch.log(p_k + 1e-8)).sum(1)).mean())
+    l1 = float((lf - torch.from_numpy(gt_feat).permute(1, 2, 0).reshape(-1, 3)).abs().mean())
+    known_fce, known_fl1, known_fsm = 0.01, 1.0, 1e-6
+    ref_feat = known_fce * ce + known_fl1 * l1
+
+    pred_hwc = torch.from_numpy(feat).permute(1, 2, 0)
+    dh = pred_hwc[1:] - pred_hwc[:-1]
+    dw = pred_hwc[:, 1:] - pred_hwc[:, :-1]
+    ref_smooth = known_fsm * float((dh.pow(2).mean() + dw.pow(2).mean()) / 2)
+
+    ours_feat, ours_smooth = loss_feature_metric(
+        jnp.asarray(feat), jnp.asarray(gt_feat), jnp.asarray(protos),
+        jnp.asarray(seg), known_fce=known_fce, known_fl1=known_fl1,
+        known_fsm=known_fsm,
+    )
+    assert float(ours_feat) == pytest.approx(ref_feat, rel=1e-4)
+    assert float(ours_smooth) == pytest.approx(ref_smooth, rel=1e-3)
+
+
+def test_depth_smoothness_matches(rng):
+    depth = rng.uniform(1, 5, (1, 1, 20, 24)).astype(np.float32)
+    img = rng.uniform(size=(1, 3, 20, 24)).astype(np.float32)
+    t_d = torch.from_numpy(depth)
+    t_i = torch.from_numpy(img)
+    gx = t_i[:, :, :, :-1] - t_i[:, :, :, 1:]
+    gy = t_i[:, :, :-1, :] - t_i[:, :, 1:, :]
+    wx = torch.exp(-gx.abs().mean(1, keepdim=True))
+    wy = torch.exp(-gy.abs().mean(1, keepdim=True))
+    ref = float((((t_d[:, :, :, :-1] - t_d[:, :, :, 1:]).abs() * wx).sum()
+                 + ((t_d[:, :, :-1, :] - t_d[:, :, 1:, :]).abs() * wy).sum())
+                / (wx.sum() + wy.sum()))
+    ours = float(loss_depth_smoothness(jnp.asarray(depth), jnp.asarray(img)))
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_segment_pearson(rng):
+    d = rng.uniform(1, 5, (20, 20)).astype(np.float32)
+    labels = (rng.random((20, 20)) > 0.5).astype(np.int32)
+    # mono = -d per segment -> rho(d, -(-d)) = 1 -> loss 0
+    out = float(segment_pearson_loss(jnp.asarray(d), jnp.asarray(-d),
+                                     jnp.asarray(labels), 2))
+    assert out == pytest.approx(0.0, abs=1e-5)
