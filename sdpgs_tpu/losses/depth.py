@@ -81,6 +81,17 @@ def segment_pearson_loss(
     )
 
 
+def seg_norm_mse_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, seg: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Per-segment standardized Pearson loss (reference
+    loss_utils.py:94-104: mean over segments of
+    1 - rho(norm(pred_seg), -norm(target_seg))). The per-segment
+    standardization cancels inside Pearson, so this reduces to the segmented
+    correlation with the target negated."""
+    return segment_pearson_loss(pred, target, seg, num_segments, negate_mono=True)
+
+
 def loss_depth_smoothness(depth: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     """Edge-aware smoothness (reference loss_utils.py:191-200).
     depth [1,1,H,W]-like or [1,H,W]; img [1,C,H,W]-like or [C,H,W]."""
