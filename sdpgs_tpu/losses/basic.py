@@ -94,7 +94,8 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray | None = None) 
     if mask is None:
         mse = jnp.mean((img1 - img2) ** 2)
     else:
-        mse = jnp.sum(((img1 - img2) * mask) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+        m = jnp.broadcast_to(mask, img1.shape)
+        mse = jnp.sum(((img1 - img2) * m) ** 2) / jnp.maximum(jnp.sum(m), 1.0)
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
 
 
