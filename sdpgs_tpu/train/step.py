@@ -75,7 +75,11 @@ class PseudoInputs(NamedTuple):
 def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
                      cfg: TrainConfig, sh_degree: int, bg, step):
     opt = cfg.optim
-    out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset)
+    # per-Gaussian confidence scales the feature compositing when enabled
+    # (reference gaussian_renderer/__init__.py:227: pipe.use_confidence)
+    conf = g.confidence if cfg.pipeline.use_confidence else None
+    out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset,
+                 confidence=conf)
     image = out.color.transpose(2, 0, 1)                 # [3, H, W]
     ll1 = l1_loss_mask(image, gt_img)
     loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim(image, gt_img))

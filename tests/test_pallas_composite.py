@@ -78,3 +78,26 @@ def test_pallas_early_termination_consistency(rng):
     out_p = composite_tiles_pallas(*args, CFG)
     np.testing.assert_allclose(out_p.values, out_x.values, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(out_p.final_t, out_x.final_t, atol=1e-6)
+
+
+def test_pallas_vmap_batching(rng):
+    """vmap over a view batch must work for the pallas composite (multi-view
+    training batches vmap the whole render)."""
+    args1 = random_payload(rng, T=4, K=128)
+    args2 = random_payload(np.random.default_rng(7), T=4, K=128)
+    stacked = tuple(jnp.stack([a, b]) for a, b in zip(args1, args2))
+
+    f = jax.vmap(lambda xy, con, opa, vals, px, py:
+                 composite_tiles_pallas(xy, con, opa, vals, px, py, CFG).values)
+    out = f(*stacked)
+    ref0 = composite_tiles_pallas(*args1, CFG).values
+    ref1 = composite_tiles_pallas(*args2, CFG).values
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref1), atol=1e-5)
+
+    # grad-of-vmap
+    def loss(xy):
+        return jnp.sum(f(xy, *stacked[1:]) ** 2)
+
+    g = jax.grad(loss)(stacked[0])
+    assert np.all(np.isfinite(np.asarray(g)))
