@@ -77,13 +77,11 @@ class Trainer:
         self._rng = np.random.default_rng(cfg.seed)
         self._view_stack: list = []
         self._pseudo_stack: list = []
-        # Device-resident single-view batches built once: re-staging ~2MB of
-        # images from host every iteration costs more than the step itself
-        # at TPU speeds.
-        self._view_batches = [
-            build_view_batch(self.scene.train_cameras, [i])
-            for i in range(len(self.scene.train_cameras))
-        ]
+        # Device-resident batches cached by view-index tuple: re-staging ~2MB
+        # of images from host every iteration costs more than the step
+        # itself at TPU speeds. views_per_batch > 1 turns on the TPU-side
+        # view-batch data parallelism the reference lacks (SURVEY §2.3).
+        self._batch_cache: Dict[tuple, ViewBatch] = {}
         # static pseudo-branch inputs
         tc = self.scene.train_cameras
         self._train_depths = jnp.asarray(np.stack(
@@ -110,6 +108,16 @@ class Trainer:
             self._view_stack = list(range(len(self.scene.train_cameras)))
         i = self._rng.integers(0, len(self._view_stack))
         return self._view_stack.pop(int(i))
+
+    def _next_batch(self) -> ViewBatch:
+        V = max(1, int(self.cfg.views_per_batch))
+        V = min(V, len(self.scene.train_cameras))
+        idx = tuple(sorted(self._next_view() for _ in range(V)))
+        if idx not in self._batch_cache:
+            self._batch_cache[idx] = build_view_batch(
+                self.scene.train_cameras, list(idx)
+            )
+        return self._batch_cache[idx]
 
     def _next_pseudo(self) -> int:
         if not self._pseudo_stack:
@@ -175,7 +183,7 @@ class Trainer:
                 opt.start_sample_pseudo < iteration < opt.end_sample_pseudo
                 and iteration % opt.sample_pseudo_interval == 0
             )
-            batch = self._view_batches[self._next_view()]
+            batch = self._next_batch()
             step = self._step_fn(sh_degree, in_pseudo)
             if in_pseudo:
                 cam, R, T = self.scene.pseudo_camera(self._next_pseudo())
