@@ -86,6 +86,10 @@ def main(argv=None):
         save_config(cfg, Path(cfg.model.model_path) / "cfg.json")
 
     trainer = Trainer(cfg)
+    if args.start_checkpoint:
+        ckpt_dir, step = args.start_checkpoint.rsplit(":", 1)
+        trainer.restore(ckpt_dir, int(step))
+        print(f"resumed from {ckpt_dir} at step {step}")
 
     def on_eval(tr, iteration):
         res = tr.evaluate()

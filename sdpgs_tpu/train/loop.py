@@ -167,15 +167,24 @@ class Trainer:
             g, opt_state = reset_opacity(self.state.gaussians, self.state.opt_state)
             self.state = self.state.replace(gaussians=g, opt_state=opt_state)
 
+    def restore(self, checkpoint_dir, step: int) -> None:
+        """Resume from an orbax checkpoint (reference --start_checkpoint,
+        train.py:46-48)."""
+        from sdpgs_tpu.train.state import restore_checkpoint
+
+        self.state = restore_checkpoint(checkpoint_dir, step, self.state)
+
     # ---- main loop -----------------------------------------------------
     def train(self, iterations: Optional[int] = None, log_every: int = 100,
               on_eval=None):
         opt = self.cfg.optim
         iterations = iterations or opt.iterations
-        sh_degree = 0
         history = []
         t_start = time.time()
-        for iteration in range(1, iterations + 1):
+        first_iter = int(jax.device_get(self.state.step)) + 1
+        # SH degree warmup state reflects the global iteration on resume
+        sh_degree = min((first_iter - 1) // 500, self.cfg.model.sh_degree)
+        for iteration in range(first_iter, iterations + 1):
             if iteration % 500 == 0:
                 sh_degree = min(sh_degree + 1, self.cfg.model.sh_degree)
 
