@@ -6,13 +6,12 @@ divider, default /8 for the LLFF protocol), in-place intrinsics rescale
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
-from sdpgs_tpu.core.camera import Camera, focal2fov, fov2focal, world_to_view_matrix
+from sdpgs_tpu.core.camera import Camera, fov2focal
 
 
 def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:

@@ -18,7 +18,7 @@ scene/__init__.py:174-178).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Parity with reference/scene/dataset_readers.py:
 from __future__ import annotations
 
 import json
-import math
 import os
 import re
 from dataclasses import dataclass

@@ -26,7 +26,7 @@ from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.core.gaussians import Gaussians, create_from_points
 from sdpgs_tpu.data import pose_sampling
 from sdpgs_tpu.data.camera_utils import LoadedCamera, camera_to_json, load_camera
-from sdpgs_tpu.data.readers import SceneInfo, read_blender_scene, read_colmap_scene
+from sdpgs_tpu.data.readers import read_blender_scene, read_colmap_scene
 
 
 def unify_segments(cams: List[LoadedCamera]) -> np.ndarray:

@@ -4,8 +4,6 @@ utils/loss_utils.py and utils/image_utils.py). Images are channel-first
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ pseudo-view depth loss *through* MiDaS into the rendered image
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, Sequence
 
 import jax

@@ -11,7 +11,6 @@ Pretrained weights cannot be downloaded offline; convert them once with
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Dict, List
 
 import jax

@@ -22,7 +22,6 @@ The backward pass is JAX autodiff through the scan with rematerialization
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

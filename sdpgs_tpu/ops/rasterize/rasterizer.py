@@ -9,7 +9,6 @@ alpha, 3-channel feature image, radii.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -11,10 +11,7 @@
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
-from typing import Dict
-
 import numpy as np
 
 from sdpgs_tpu.data import colmap

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from sdpgs_tpu.config import RasterizeConfig
 from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.core.gaussians import Gaussians
-from sdpgs_tpu.core.transforms import build_covariance_3d
 from sdpgs_tpu.ops.rasterize import rasterize, RenderOutput
 
 

@@ -8,7 +8,6 @@ train.py:85-86) and pseudo-window flavor."""
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sdpgs_tpu.config import TrainConfig
-from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.data.scene import Scene
 from sdpgs_tpu.losses import psnr as psnr_fn
 from sdpgs_tpu.losses import ssim as ssim_fn

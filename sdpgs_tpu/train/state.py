@@ -9,8 +9,6 @@ PLY export for interop (see sdpgs_tpu/data/ply.py).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import random
 import sys
-import time
 from datetime import datetime
 
 import numpy as np
