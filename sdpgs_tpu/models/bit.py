@@ -1,0 +1,124 @@
+"""BiT (Big Transfer, ResNet-v1.5-style bottleneck variant) backbone in jnp
+— the convolutional stem of DPT-Hybrid (MiDaS 3.0 hybrid, the reference's
+default depth net, reference/utils/depth_utils.py:4 ``DPT_Hybrid``).
+
+Mirrors transformers ``BitBackbone`` with ``layer_type='bottleneck'``,
+``stem_type='same'`` (weight-standardized convs, TF-style dynamic SAME
+padding, GroupNorm+ReLU); parameters keyed by the torch state-dict names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BitArch:
+    embedding_size: int = 64
+    hidden_sizes: Sequence[int] = (256, 512, 1024)
+    depths: Sequence[int] = (3, 4, 9)
+    num_groups: int = 32
+    width_factor: int = 1
+
+
+def _make_div(value, divisor=8):
+    min_value = divisor
+    new_value = max(min_value, int(value + divisor / 2) // divisor * divisor)
+    if new_value < 0.9 * value:
+        new_value += divisor
+    return new_value
+
+
+def _ws_weight(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Weight standardization: per-output-channel zero-mean unit-var
+    (biased variance, matching F.batch_norm with training=True)."""
+    o = w.shape[0]
+    flat = w.reshape(o, -1)
+    mu = flat.mean(axis=1, keepdims=True)
+    var = flat.var(axis=1, keepdims=True)
+    return ((flat - mu) / jnp.sqrt(var + eps)).reshape(w.shape)
+
+
+def _same_pad(x: jnp.ndarray, k: int, s: int, value: float = 0.0) -> jnp.ndarray:
+    """TF dynamic SAME padding (transformers DynamicPad2d)."""
+    H, W = x.shape[-2:]
+
+    def pad_amount(n):
+        return max((math.ceil(n / s) - 1) * s + k - n, 0)
+
+    ph, pw = pad_amount(H), pad_amount(W)
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(
+        x,
+        ((0, 0), (0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)),
+        constant_values=value,
+    )
+
+
+def _ws_conv(p, name, x, k: int, stride: int = 1) -> jnp.ndarray:
+    w = _ws_weight(p[f"{name}.weight"])
+    x = _same_pad(x, k, stride)
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _gn(p, name, x, num_groups: int, act: bool = True, eps: float = 1e-5) -> jnp.ndarray:
+    B, C, H, W = x.shape
+    g = x.reshape(B, num_groups, C // num_groups, H, W)
+    mu = g.mean(axis=(2, 3, 4), keepdims=True)
+    var = g.var(axis=(2, 3, 4), keepdims=True)
+    g = (g - mu) / jnp.sqrt(var + eps)
+    x = g.reshape(B, C, H, W)
+    x = x * p[f"{name}.weight"][None, :, None, None] + p[f"{name}.bias"][None, :, None, None]
+    return jax.nn.relu(x) if act else x
+
+
+def _maxpool_same(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
+    x = _same_pad(x, k, s, value=0.0)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID"
+    )
+
+
+def bit_backbone(
+    p: Dict[str, jnp.ndarray],
+    pixel_values: jnp.ndarray,
+    arch: BitArch = BitArch(),
+    prefix: str = "bit",
+) -> List[jnp.ndarray]:
+    """[B, 3, H, W] -> feature maps of every stage ([/4, /8, /16] for the
+    3-stage DPT-hybrid configuration)."""
+    G = arch.num_groups
+    # stem: WS conv 7x7/2 + GN+ReLU + dynamic-SAME maxpool 3x3/2
+    x = _ws_conv(p, f"{prefix}.embedder.convolution", pixel_values, 7, 2)
+    x = _gn(p, f"{prefix}.embedder.norm", x, G)
+    x = _maxpool_same(x)
+
+    feats = []
+    for si, (depth, hidden) in enumerate(zip(arch.depths, arch.hidden_sizes)):
+        out_ch = _make_div(hidden * arch.width_factor)
+        stage_stride = 1 if si == 0 else 2
+        for li in range(depth):
+            name = f"{prefix}.encoder.stages.{si}.layers.{li}"
+            stride = stage_stride if li == 0 else 1
+            shortcut = x
+            if li == 0:
+                shortcut = _ws_conv(p, f"{name}.downsample.conv", x, 1, stride)
+                shortcut = _gn(p, f"{name}.downsample.norm", shortcut, G, act=False)
+            h = _ws_conv(p, f"{name}.conv1", x, 1)
+            h = _gn(p, f"{name}.norm1", h, G)
+            h = _ws_conv(p, f"{name}.conv2", h, 3, stride)
+            h = _gn(p, f"{name}.norm2", h, G)
+            h = _ws_conv(p, f"{name}.conv3", h, 1)
+            h = _gn(p, f"{name}.norm3", h, G, act=False)
+            x = jax.nn.relu(h + shortcut)
+        feats.append(x)
+    return feats

@@ -22,9 +22,17 @@ def make_mono_depth_fn(
 ) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
     if not weights_path or not Path(weights_path).exists():
         return None
+    import numpy as np
+
     from sdpgs_tpu.models.dpt import DPTArch, DPTDepthModel
 
-    model = DPTDepthModel.load(weights_path, DPTArch.large())
+    params = dict(np.load(weights_path))
+    arch = (
+        DPTArch.hybrid()
+        if any(k.startswith("dpt.embeddings.backbone.") for k in params)
+        else DPTArch.large()
+    )
+    model = DPTDepthModel(params, arch)
 
     def estimate_depth(image: jnp.ndarray) -> jnp.ndarray:
         return model(image)

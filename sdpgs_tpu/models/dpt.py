@@ -38,10 +38,26 @@ class DPTArch:
     reassemble_factors: Sequence[float] = (4, 2, 1, 0.5)
     fusion_hidden_size: int = 256
     layer_norm_eps: float = 1e-12
+    is_hybrid: bool = False
+    bit: "object" = None  # BitArch when is_hybrid
 
     @classmethod
     def large(cls) -> "DPTArch":
         return cls()
+
+    @classmethod
+    def hybrid(cls) -> "DPTArch":
+        """DPT-Hybrid == MiDaS 3.0 hybrid (Intel/dpt-hybrid-midas): ViT-Base
+        on a BiT-R50 3-stage stem, CNN features feeding the two
+        highest-resolution fusion branches."""
+        from sdpgs_tpu.models.bit import BitArch
+
+        return cls(hidden_size=768, num_layers=12, num_heads=12,
+                   intermediate_size=3072,
+                   backbone_out_indices=(2, 5, 8, 11),
+                   neck_hidden_sizes=(256, 512, 768, 768),
+                   reassemble_factors=(1, 1, 1, 0.5),
+                   is_hybrid=True, bit=BitArch())
 
     @classmethod
     def tiny(cls, **kw) -> "DPTArch":
@@ -49,6 +65,18 @@ class DPTArch:
         return cls(hidden_size=32, num_layers=4, num_heads=2, intermediate_size=64,
                    backbone_out_indices=(0, 1, 2, 3), neck_hidden_sizes=(8, 12, 24, 32),
                    fusion_hidden_size=16, **kw)
+
+    @classmethod
+    def tiny_hybrid(cls, **kw) -> "DPTArch":
+        from sdpgs_tpu.models.bit import BitArch
+
+        return cls(hidden_size=32, num_layers=4, num_heads=2, intermediate_size=64,
+                   backbone_out_indices=(0, 1, 2, 3),
+                   neck_hidden_sizes=(16, 32, 32, 32),
+                   reassemble_factors=(1, 1, 1, 0.5),
+                   fusion_hidden_size=16, is_hybrid=True,
+                   bit=BitArch(embedding_size=16, hidden_sizes=(16, 32, 32),
+                               depths=(1, 1, 1), num_groups=8), **kw)
 
 
 def _linear(p, name, x):
@@ -139,14 +167,26 @@ def _vit_layer(p, i, x, arch: DPTArch):
 
 
 def _embed(p, x, arch: DPTArch):
-    """[B, 3, H, W] -> tokens [B, N+1, C]; pos embeddings interpolated to the
-    actual grid (modeling_dpt.py:_resize_pos_embed)."""
+    """[B, 3, H, W] -> tokens [B, N+1, C] (+ CNN features when hybrid); pos
+    embeddings interpolated to the actual grid
+    (modeling_dpt.py:_resize_pos_embed)."""
     B = x.shape[0]
-    feat = jax.lax.conv_general_dilated(
-        x, p["dpt.embeddings.patch_embeddings.projection.weight"],
-        (arch.patch_size, arch.patch_size), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ) + p["dpt.embeddings.patch_embeddings.projection.bias"][None, :, None, None]
+    cnn_feats = []
+    if arch.is_hybrid:
+        from sdpgs_tpu.models.bit import bit_backbone
+
+        feats = bit_backbone(p, x, arch.bit, prefix="dpt.embeddings.backbone.bit")
+        cnn_feats = feats[:2]
+        feat = jax.lax.conv_general_dilated(
+            feats[-1], p["dpt.embeddings.projection.weight"], (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ) + p["dpt.embeddings.projection.bias"][None, :, None, None]
+    else:
+        feat = jax.lax.conv_general_dilated(
+            x, p["dpt.embeddings.patch_embeddings.projection.weight"],
+            (arch.patch_size, arch.patch_size), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ) + p["dpt.embeddings.patch_embeddings.projection.bias"][None, :, None, None]
     B_, C, gh, gw = feat.shape
     tokens = feat.reshape(B, C, gh * gw).transpose(0, 2, 1)
 
@@ -159,7 +199,7 @@ def _embed(p, x, arch: DPTArch):
         pos_grid = grid.reshape(1, -1, gh * gw).transpose(0, 2, 1)
     cls = jnp.broadcast_to(p["dpt.embeddings.cls_token"], (B, 1, C))
     tokens = jnp.concatenate([cls, tokens], axis=1)
-    return tokens + jnp.concatenate([pos_tok, pos_grid], axis=1), gh, gw
+    return tokens + jnp.concatenate([pos_tok, pos_grid], axis=1), gh, gw, cnn_feats
 
 
 def _residual_unit(p, name, x):
@@ -173,18 +213,25 @@ def _residual_unit(p, name, x):
 def dpt_forward(p: Dict[str, jnp.ndarray], pixel_values: jnp.ndarray,
                 arch: DPTArch = DPTArch.large()) -> jnp.ndarray:
     """[B, 3, H, W] normalized input -> [B, H, W] inverse depth."""
-    tokens, gh, gw = _embed(p, pixel_values, arch)
+    tokens, gh, gw, cnn_feats = _embed(p, pixel_values, arch)
 
+    # Hybrid: the two highest-res neck inputs come from the CNN stem, the
+    # rest from ViT hooks backbone_out_indices[2:] (modeling_dpt.py:1047-1058)
+    vit_hooks = (
+        arch.backbone_out_indices[2:] if arch.is_hybrid else arch.backbone_out_indices
+    )
     hooked: List[jnp.ndarray] = []
     x = tokens
     for i in range(arch.num_layers):
         x = _vit_layer(p, i, x, arch)
-        if i in arch.backbone_out_indices:
+        if i in vit_hooks:
             hooked.append(x)
 
     # --- reassemble (modeling_dpt.py:555-597, readout_type='project') ------
-    feats = []
-    for i, h in enumerate(hooked):
+    feats = list(cnn_feats)  # hybrid: stages 0,1 pass through (Identity)
+    offset = len(cnn_feats)
+    for j, h in enumerate(hooked):
+        i = j + offset
         cls, grid = h[:, 0], h[:, 1:]
         B, N, C = grid.shape
         readout = jnp.broadcast_to(cls[:, None, :], grid.shape)
@@ -201,11 +248,14 @@ def dpt_forward(p: Dict[str, jnp.ndarray], pixel_values: jnp.ndarray,
         elif factor < 1:
             fm = _conv(p, f"neck.reassemble_stage.layers.{i}.resize", fm, stride=2,
                        padding=[(1, 1), (1, 1)])
-        fm = jax.lax.conv_general_dilated(
+        feats.append(fm)
+    feats = [
+        jax.lax.conv_general_dilated(
             fm, p[f"neck.convs.{i}.weight"], (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        feats.append(fm)
+        for i, fm in enumerate(feats)
+    ]
 
     # --- fusion, top-down (modeling_dpt.py:622-758) -------------------------
     fused = None

@@ -61,3 +61,45 @@ def test_dpt_nonsquare_pos_interp():
     # differentiable w.r.t. the rendered pseudo view, depth_utils.py:38-44)
     g = jax.grad(lambda im: jnp.sum(dpt_forward(params, im, arch)))(x)
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def build_torch_tiny_hybrid():
+    from transformers import BitConfig, DPTConfig, DPTForDepthEstimation
+
+    bit_cfg = BitConfig(
+        embedding_size=16, hidden_sizes=[16, 32, 32], depths=[1, 1, 1],
+        layer_type="bottleneck", stem_type="same",
+        out_features=["stage1", "stage2", "stage3"], num_groups=8,
+        embedding_dynamic_padding=True, global_padding="SAME",
+    )
+    cfg = DPTConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=64, image_size=96, patch_size=16,
+        fusion_hidden_size=16, neck_hidden_sizes=[16, 32, 32, 32],
+        backbone_out_indices=[0, 1, 2, 3], is_hybrid=True,
+        reassemble_factors=[1, 1, 1, 0.5],
+        backbone_config=bit_cfg,
+        backbone_featmap_shape=[1, 32, 6, 6],
+        neck_ignore_stages=[0, 1],
+    )
+    torch.manual_seed(0)
+    return DPTForDepthEstimation(cfg).eval()
+
+
+def test_dpt_hybrid_matches_torch_random_weights():
+    from sdpgs_tpu.models.dpt import DPTArch as A
+
+    model = build_torch_tiny_hybrid()
+    params = {k: jnp.asarray(v.detach().numpy())
+              for k, v in model.state_dict().items()}
+    arch = A.tiny_hybrid()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).predicted_depth.numpy()
+    from sdpgs_tpu.models.dpt import dpt_forward
+
+    out = np.asarray(dpt_forward(params, jnp.asarray(x), arch))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-3)
