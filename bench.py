@@ -59,7 +59,7 @@ def main():
     )
 
     cfg = TrainConfig()
-    cfg.raster = RasterizeConfig(tile=16, max_per_tile=512, chunk=64)
+    cfg.raster = RasterizeConfig(chunk=64)
 
     state = TrainState.create(g)
     step = make_train_step(cfg, sh_degree=3)

@@ -26,8 +26,11 @@ class RasterizeConfig:
     silent.
     """
 
-    tile: int = 16                  # tile edge in pixels (reference config.h:15-16)
-    max_per_tile: int = 512         # K: max composited Gaussians per tile
+    tile: int = 32                  # tile edge in pixels (the reference uses 16,
+                                    # config.h:15-16; 32 quarters the binning
+                                    # work and maps npix=1024 onto (8,128)
+                                    # native tiles — measured 30.0 vs 24.4 it/s)
+    max_per_tile: int = 1024        # K: max composited Gaussians per tile
     max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
     chunk: int = 32                 # XLA-path compositing chunk (K % chunk == 0)
     chunk_pallas: int = 128         # Pallas kernel chunk (MXU tile; K % 128 == 0)

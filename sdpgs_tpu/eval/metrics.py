@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from sdpgs_tpu.losses import psnr as psnr_fn
 from sdpgs_tpu.losses import ssim as ssim_fn
+from sdpgs_tpu.losses.basic import ssim_skimage
 
 
 def avge(ssim_v: float, psnr_v: float, lpips_v: Optional[float]) -> Optional[float]:
@@ -66,8 +67,8 @@ def evaluate_dirs(
     names = sorted(p.name for p in renders_dir.iterdir())
     lpips = make_lpips_fn(lpips_weights)
 
-    per_view: Dict[str, Dict[str, float]] = {"SSIM": {}, "PSNR": {}, "LPIPS": {}, "AVGE": {}}
-    ssims, psnrs, lpipss, avges = [], [], [], []
+    per_view: Dict[str, Dict[str, float]] = {"SSIM": {}, "PSNR": {}, "LPIPS": {}, "AVGE": {}, "SSIM_sk": {}}
+    ssims, psnrs, lpipss, avges, ssims_sk = [], [], [], [], []
     for name in names:
         img = load_image(renders_dir / name)
         gt = load_image(gt_dir / name)
@@ -84,6 +85,10 @@ def evaluate_dirs(
         p = float(psnr_fn(jnp.asarray(img), jnp.asarray(gt),
                           jnp.asarray(mask) if mask is not None else None))
         s = float(ssim_fn(jnp.asarray(img), jnp.asarray(gt)))
+        if masks_dir is not None:   # DTU reports the skimage variant too
+            sk = float(ssim_skimage(jnp.asarray(img), jnp.asarray(gt)))
+            ssims_sk.append(sk)
+            per_view["SSIM_sk"][name] = sk
         l = lpips(img, gt)
         a = avge(s, p, l)
         psnrs.append(p)
@@ -102,6 +107,7 @@ def evaluate_dirs(
         "PSNR": float(np.mean(psnrs)),
         "LPIPS": float(np.mean(lpipss)) if lpipss else None,
         "AVGE": float(np.mean(avges)) if avges else None,
+        "SSIM_sk": float(np.mean(ssims_sk)) if ssims_sk else None,
     }
     return {"summary": summary, "per_view": per_view}
 

@@ -87,6 +87,29 @@ def ssim(
     return jnp.mean(ssim_map)
 
 
+def ssim_skimage(img1: jnp.ndarray, img2: jnp.ndarray,
+                 window_size: int = 11) -> jnp.ndarray:
+    """skimage.metrics.structural_similarity parity (gaussian_weights=True,
+    sigma=1.5, use_sample_covariance=False, data_range=1): same windowed
+    moments as :func:`ssim` but the mean EXCLUDES the (win//2)-pixel border
+    (skimage crops it). Used by the DTU metrics variant
+    (reference metrics_dtu.py:92-104)."""
+    g1 = _gaussian_window(window_size, 1.5)
+    window = jnp.outer(g1, g1)
+    mu1 = _depthwise_conv(img1, window)
+    mu2 = _depthwise_conv(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    pad = window_size // 2
+    return jnp.mean(ssim_map[:, pad:-pad, pad:-pad])
+
+
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """reference utils/image_utils.py:14-22 (per-image mean over pixels)."""
     if mask is None:

@@ -76,7 +76,7 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
     # Only the chunks that actually hold entries for this tile are visited
     # (binning reports per-tile live counts; sentinel slots past the count
     # are all-dead and would be pure waste).
-    nch = jnp.minimum(pl.cdiv(counts_ref[pl.program_id(0), 0], G), nchunk)
+    nch = jnp.minimum(pl.cdiv(counts_ref[0, pl.program_id(0)], G), nchunk)
     # Lower-triangular (inclusive) ones: cumprod via matmul in log space.
     Lt = _tri(G, strict=False)
 
@@ -119,7 +119,7 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         (jnp.int32(0), jnp.ones((npix,), jnp.float32), jnp.zeros((npix,), jnp.float32)),
     )
     tfin_ref[0, 0, :] = t_fin
-    nproc_ref[pl.program_id(0), 0] = c_fin
+    nproc_ref[0, pl.program_id(0)] = c_fin
 
 
 def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
@@ -135,7 +135,7 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
 
     g = gval_ref[0, :, :]                                          # [C, npix]
     s0 = tfin_ref[0, 0, :] * gtfin_ref[0, 0, :]                          # [npix]
-    nproc = nproc_ref[pl.program_id(0), 0]
+    nproc = nproc_ref[0, pl.program_id(0)]
     Lt = _tri(G, strict=False)
     Ut = _tri(G, strict=True).T  # strict upper
 
@@ -233,7 +233,9 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
             jax.ShapeDtypeStruct((T, 1, npix), jnp.float32),
             jax.ShapeDtypeStruct((T, nchunk, npix), jnp.float32),
             jax.ShapeDtypeStruct((T, nchunk, npix), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1), jnp.int32),
+            # (1, T): the lane dim must be the long one or SMEM windows pad
+            # each scalar to 128 lanes (blows the 1MB SMEM budget under vmap)
+            jax.ShapeDtypeStruct((1, T), jnp.int32),
         ],
         interpret=_interpret(),
     )
@@ -308,7 +310,7 @@ def composite_tiles_pallas(
     if counts is None:
         counts = jnp.full((T,), K, jnp.int32)
     out, tfin = composite(
-        counts.astype(jnp.int32).reshape(T, 1),
+        counts.astype(jnp.int32).reshape(1, T),
         xy.transpose(0, 2, 1),
         conic.transpose(0, 2, 1),
         opacity[:, None, :],

@@ -132,3 +132,19 @@ def test_segment_pearson(rng):
     out = float(segment_pearson_loss(jnp.asarray(d), jnp.asarray(-d),
                                      jnp.asarray(labels), 2))
     assert out == pytest.approx(0.0, abs=1e-5)
+
+
+def test_ssim_skimage_matches(rng):
+    skimage = pytest.importorskip("skimage")
+    from skimage.metrics import structural_similarity
+
+    from sdpgs_tpu.losses.basic import ssim_skimage
+
+    img1 = rng.uniform(size=(3, 48, 64)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(size=img1.shape).astype(np.float32) * 0.05, 0, 1)
+    ref = structural_similarity(
+        img1, img2, channel_axis=0, data_range=1.0, gaussian_weights=True,
+        sigma=1.5, use_sample_covariance=False,
+    )
+    ours = float(ssim_skimage(jnp.asarray(img1), jnp.asarray(img2)))
+    assert ours == pytest.approx(float(ref), abs=2e-3)
