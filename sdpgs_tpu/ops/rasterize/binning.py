@@ -72,8 +72,18 @@ def _tile_chunk(num_tiles: int, P: int) -> int:
 
 
 def bin_gaussians(
-    prep: Preprocessed, width: int, height: int, cfg: RasterizeConfig
+    prep: Preprocessed,
+    width: int,
+    height: int,
+    cfg: RasterizeConfig,
+    tile_range: tuple[jnp.ndarray, int] | None = None,
 ) -> Binning:
+    """``tile_range=(t0, n_local)`` restricts the table to the ``n_local``
+    tiles starting at flat tile id ``t0`` (static count, traced offset) — the
+    building block for tile-partitioned multi-chip rasterization (SURVEY §2.3
+    item 3): each shard bins only the tiles it owns. Ranks are exact because a
+    Gaussian's within-tile rank depends only on earlier depth-sorted Gaussians
+    covering *that* tile, never on other tiles."""
     tiles_x, tiles_y = tile_grid(width, height, cfg.tile)
     num_tiles = tiles_x * tiles_y
     P = prep.depth.shape[0]
@@ -120,8 +130,13 @@ def bin_gaussians(
     clipped = jnp.sum(jnp.where(valid_s, jnp.maximum(count - D, 0), 0)).astype(jnp.int32)
     num_entries = jnp.sum(jnp.where(valid_s, jnp.minimum(count, D), 0)).astype(jnp.int32)
 
+    t0 = jnp.int32(0) if tile_range is None else tile_range[0]
+    n_local = num_tiles if tile_range is None else tile_range[1]
+
     # --- 3. within-tile rank ------------------------------------------------
-    use_kernel = jax.default_backend() == "tpu" and P % 256 == 0
+    use_kernel = (
+        jax.default_backend() == "tpu" and P % 256 == 0 and tile_range is None
+    )
     if use_kernel:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 
@@ -129,13 +144,13 @@ def bin_gaussians(
         overflow = jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32)
         tile_counts = jnp.minimum(counts_k, K)
         return _scatter_table(
-            tid, rank, order, P, D, K, num_tiles, entry_valid,
+            tid, rank, order, P, D, K, n_local, t0, entry_valid,
             tile_counts, overflow, clipped, num_entries,
         )
 
-    Tc = _tile_chunk(num_tiles, P)
-    pad_tiles = (-num_tiles) % Tc
-    tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32)
+    Tc = _tile_chunk(n_local, P)
+    pad_tiles = (-n_local) % Tc
+    tiles = t0 + jnp.arange(n_local + pad_tiles, dtype=jnp.int32)
     ctx = (tiles % tiles_x).reshape(-1, Tc)
     cty = (tiles // tiles_x).reshape(-1, Tc)
     tstart = tiles.reshape(-1, Tc)[:, 0]
@@ -167,28 +182,31 @@ def bin_gaussians(
         overflow_c = overflow_c + jnp.sum(jnp.maximum(counts - K, 0))
         return (rank, overflow_c), counts
 
-    init = (jnp.zeros((P, D), jnp.int32), jnp.int32(0))
+    # Seed the carry from t0 so that under shard_map (tile_range set) it is
+    # typed as varying over the shard axis, matching the body's output.
+    init = (jnp.zeros((P, D), jnp.int32) + 0 * t0, 0 * t0)
     (rank, overflow), counts = jax.lax.scan(
         chunk_rank, init, (ctx, cty, tstart)
     )
-    tile_counts = jnp.minimum(counts.reshape(-1)[:num_tiles], K)
+    tile_counts = jnp.minimum(counts.reshape(-1)[:n_local], K)
     return _scatter_table(
-        tid, rank, order, P, D, K, num_tiles, entry_valid,
+        tid, rank, order, P, D, K, n_local, t0, entry_valid,
         tile_counts, overflow.astype(jnp.int32), clipped, num_entries,
     )
 
 
-def _scatter_table(tid, rank, order, P, D, K, num_tiles, entry_valid,
+def _scatter_table(tid, rank, order, P, D, K, n_local, t0, entry_valid,
                    tile_counts, overflow, clipped, num_entries) -> Binning:
     # --- 4. dense table via one bounded scatter -----------------------------
-    keep = entry_valid & (rank < K)
-    slot = jnp.where(keep, tid * K + rank, jnp.int32(num_tiles * K))  # OOB -> drop
+    local = tid - t0
+    keep = entry_valid & (rank < K) & (local >= 0) & (local < n_local)
+    slot = jnp.where(keep, local * K + rank, jnp.int32(n_local * K))  # OOB -> drop
     gid = jnp.broadcast_to(order[:, None], (P, D))
-    table = jnp.full((num_tiles * K,), P, dtype=jnp.int32)
+    table = jnp.full((n_local * K,), P, dtype=jnp.int32)
     table = table.at[slot.reshape(-1)].set(gid.reshape(-1), mode="drop")
 
     return Binning(
-        tile_index=table.reshape(num_tiles, K),
+        tile_index=table.reshape(n_local, K),
         tile_counts=tile_counts,
         overflow=overflow,
         clipped=clipped,

@@ -56,6 +56,25 @@ def tile_pixel_coords(
     return px, py
 
 
+def tile_pixel_coords_range(
+    t0: jnp.ndarray, n_local: int, num_tiles_x: int, tile: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel-center coordinates for ``n_local`` tiles starting at flat tile id
+    ``t0`` (traced offset, static count) — the tile-sharded variant of
+    ``tile_pixel_coords``."""
+    tiles = t0 + jnp.arange(n_local, dtype=jnp.int32)
+    origin_x = (tiles % num_tiles_x).astype(jnp.float32)[:, None] * tile
+    origin_y = (tiles // num_tiles_x).astype(jnp.float32)[:, None] * tile
+    ly, lx = jnp.meshgrid(
+        jnp.arange(tile, dtype=jnp.float32),
+        jnp.arange(tile, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = origin_x + lx.reshape(1, -1)                      # [n_local, npix]
+    py = origin_y + ly.reshape(1, -1)
+    return px, py
+
+
 def composite_tiles_xla(
     xy: jnp.ndarray,        # [T, K, 2] gathered Gaussian centers (pixels)
     conic: jnp.ndarray,     # [T, K, 3]
@@ -126,9 +145,12 @@ def composite_tiles_xla(
     )
     if rect is not None:
         xs = xs + (rect.reshape(T_tiles, K // chunk, chunk, 4).swapaxes(0, 1),)
+    # Data-depend the carry init on px so that under shard_map (tile-sharded
+    # rasterization) it is typed as varying over the shard axis like the
+    # body's outputs.
     init = (
-        jnp.ones((T_tiles, npix), jnp.float32),
-        jnp.zeros((T_tiles, npix), jnp.bool_),
+        jnp.ones((T_tiles, npix), jnp.float32) + 0.0 * px,
+        (0.0 * px) > 0.0,
     )
     (t_final, _), contribs = jax.lax.scan(jax.checkpoint(step), init, xs)
     return TileOutputs(values=jnp.sum(contribs, axis=0), final_t=t_final)

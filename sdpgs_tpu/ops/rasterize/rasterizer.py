@@ -38,6 +38,94 @@ def _pad_row(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(a, pad)
 
 
+def rasterize_tiles(
+    xyz: jnp.ndarray,
+    cov3d: Optional[jnp.ndarray],
+    opacity: jnp.ndarray,
+    color: jnp.ndarray,
+    feature: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam: Camera,
+    cfg: RasterizeConfig,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    feature_weight: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
+    quat: Optional[jnp.ndarray] = None,
+    tile_range: Optional[tuple[jnp.ndarray, int]] = None,
+) -> tuple[composite_xla.TileOutputs, binning_lib.Binning, Preprocessed]:
+    """Preprocess -> bin -> gather -> composite for a (sub)range of tiles.
+
+    ``tile_range=(t0, n_local)`` composites only the ``n_local`` tiles
+    starting at flat tile id ``t0`` — the per-shard body for
+    tile-partitioned multi-chip rasterization (SURVEY §2.3 item 3)."""
+    if scale is not None:
+        prep = preprocess_fused(
+            xyz, scale, quat, cam, alive, near=cfg.near, low_pass=cfg.low_pass
+        )
+    else:
+        prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
+    mean2d = prep.mean2d
+    if means2d_offset is not None:
+        mean2d = mean2d + means2d_offset
+
+    # Binning consumes geometry only; gradients flow through the payload.
+    bins = binning_lib.bin_gaussians(
+        Preprocessed(
+            valid=jax.lax.stop_gradient(prep.valid),
+            mean2d=jax.lax.stop_gradient(mean2d),
+            depth=jax.lax.stop_gradient(prep.depth),
+            conic=jax.lax.stop_gradient(prep.conic),
+            radius=jax.lax.stop_gradient(prep.radius),
+        ),
+        cam.width,
+        cam.height,
+        cfg,
+        tile_range=tile_range,
+    )
+
+    if feature_weight is not None:
+        feature = feature * feature_weight[:, None]
+
+    # One packed payload -> a single gather (and a single scatter-add in the
+    # backward) instead of four: TPU gathers are per-row, so batching the
+    # columns halves the cost.
+    payload = jnp.concatenate(
+        [
+            mean2d,                                   # 0:2
+            prep.conic,                               # 2:5
+            (opacity * prep.valid)[:, None],          # 5
+            color,                                    # 6:9
+            prep.depth[:, None],                      # 9
+            feature,                                  # 10:13
+        ],
+        axis=-1,
+    )
+    idx = bins.tile_index                     # [T, K]
+    gathered = _pad_row(payload)[idx]         # [T, K, 13]
+    xy_g = gathered[..., 0:2]
+    con_g = gathered[..., 2:5]
+    opa_g = gathered[..., 5]
+    val_g = gathered[..., 6:13]
+
+    tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
+    if tile_range is None:
+        px, py = composite_xla.tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    else:
+        px, py = composite_xla.tile_pixel_coords_range(
+            tile_range[0], tile_range[1], tiles_x, cfg.tile
+        )
+
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
+
+        out = composite_tiles_pallas(
+            xy_g, con_g, opa_g, val_g, px, py, cfg, counts=bins.tile_counts
+        )
+    else:
+        out = composite_xla.composite_tiles_xla(xy_g, con_g, opa_g, val_g, px, py, cfg)
+    return out, bins, prep
+
+
 def rasterize(
     xyz: jnp.ndarray,          # [P, 3]
     cov3d: jnp.ndarray,        # [P, 3, 3] world covariance
@@ -69,66 +157,12 @@ def rasterize(
     (the reference's per-Gaussian ``confidence``,
     gaussian_renderer/__init__.py:227-241).
     """
-    if scale is not None:
-        prep = preprocess_fused(
-            xyz, scale, quat, cam, alive, near=cfg.near, low_pass=cfg.low_pass
-        )
-    else:
-        prep = preprocess(xyz, cov3d, cam, alive, near=cfg.near, low_pass=cfg.low_pass)
-    mean2d = prep.mean2d
-    if means2d_offset is not None:
-        mean2d = mean2d + means2d_offset
-
-    # Binning consumes geometry only; gradients flow through the payload.
-    bins = binning_lib.bin_gaussians(
-        Preprocessed(
-            valid=jax.lax.stop_gradient(prep.valid),
-            mean2d=jax.lax.stop_gradient(mean2d),
-            depth=jax.lax.stop_gradient(prep.depth),
-            conic=jax.lax.stop_gradient(prep.conic),
-            radius=jax.lax.stop_gradient(prep.radius),
-        ),
-        cam.width,
-        cam.height,
-        cfg,
+    out, bins, prep = rasterize_tiles(
+        xyz, cov3d, opacity, color, feature, alive, cam, cfg,
+        means2d_offset=means2d_offset, feature_weight=feature_weight,
+        scale=scale, quat=quat,
     )
-
-    if feature_weight is not None:
-        feature = feature * feature_weight[:, None]
-
-    # One packed payload -> a single gather (and a single scatter-add in the
-    # backward) instead of four: TPU gathers are per-row, so batching the
-    # columns halves the cost.
-    payload = jnp.concatenate(
-        [
-            mean2d,                                   # 0:2
-            prep.conic,                               # 2:5
-            (opacity * prep.valid)[:, None],          # 5
-            color,                                    # 6:9
-            prep.depth[:, None],                      # 9
-            feature,                                  # 10:13
-        ],
-        axis=-1,
-    )
-    idx = bins.tile_index                     # [T, K]
-    gathered = _pad_row(payload)[idx]         # [T, K, 13]
-    xy_g = gathered[..., 0:2]
-    con_g = gathered[..., 2:5]
-    opa_g = gathered[..., 5]
-    val_g = gathered[..., 6:13]
-
     tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
-    px, py = composite_xla.tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
-
-    if cfg.use_pallas and jax.default_backend() == "tpu":
-        from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
-
-        out = composite_tiles_pallas(
-            xy_g, con_g, opa_g, val_g, px, py, cfg, counts=bins.tile_counts
-        )
-    else:
-        out = composite_xla.composite_tiles_xla(xy_g, con_g, opa_g, val_g, px, py, cfg)
-
     H, W = cam.height, cam.width
     vals = composite_xla.assemble_image(out.values, tiles_x, tiles_y, cfg.tile, H, W)
     final_t = composite_xla.assemble_image(

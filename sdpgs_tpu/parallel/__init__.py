@@ -11,9 +11,12 @@ new first-class subsystem:
   statistics over the Gaussian dimension; parameters are kept replicated for
   rendering, with XLA inserting the reduce-scatter/all-gather pair around
   the optimizer update.
+- **tile axis**: tile-partitioned rasterization (``tile_shard.py``) — each
+  device bins and composites only the image tiles it owns; the backward's
+  per-Gaussian gradient accumulation becomes one psum over the axis.
 
-Collectives ride ICI automatically via GSPMD; nothing here issues explicit
-collectives.
+Collectives ride ICI automatically via GSPMD (shard_map for the tile axis);
+nothing here issues explicit collectives.
 """
 
 from sdpgs_tpu.parallel.mesh import make_mesh  # noqa: F401
@@ -22,4 +25,8 @@ from sdpgs_tpu.parallel.sharding import (  # noqa: F401
     shard_batch,
     shard_train_state,
     state_shardings,
+)
+from sdpgs_tpu.parallel.tile_shard import (  # noqa: F401
+    rasterize_tile_sharded,
+    render_tile_sharded,
 )

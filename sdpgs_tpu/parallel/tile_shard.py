@@ -1,0 +1,139 @@
+"""Tile-partitioned multi-chip rasterization (SURVEY.md §2.3 item 3).
+
+The reference rasterizes every 16x16 tile of a view on one GPU
+(reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/
+rasterizer_impl.cu:234 launches one CUDA block per tile). Here the tile grid
+itself is partitioned over a mesh axis: under ``jax.shard_map`` each device
+
+  1. preprocesses the (replicated) Gaussians — cheap, per-Gaussian work;
+  2. bins only the tiles it owns (``bin_gaussians(tile_range=...)`` — the
+     within-tile rank is tile-local, so shards never need each other's
+     ranks and there is no cross-device sort or all-to-all);
+  3. composites its tile slice with the same Pallas/XLA kernels.
+
+The forward needs **zero collectives** — per-tile work is independent and
+the Gaussian payload is replicated. The backward gets exactly one
+``psum`` (inserted by shard_map's transpose of the replicated payload
+inputs): the cross-device analogue of the CUDA backward's atomicAdd
+accumulation of per-pixel gradients into per-Gaussian slots
+(reference backward.cu:523-554). That psum rides ICI.
+
+This axis composes with view-batch data parallelism (axis ``data``) and
+scales the *pixels-per-view* dimension — the right axis when views are few
+(the 3-view few-shot regime) but images are large.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sdpgs_tpu.config import RasterizeConfig
+from sdpgs_tpu.core.camera import Camera
+from sdpgs_tpu.core.gaussians import Gaussians
+from sdpgs_tpu.ops.rasterize import binning as binning_lib
+from sdpgs_tpu.ops.rasterize.composite_xla import assemble_image
+from sdpgs_tpu.ops.rasterize.rasterizer import RenderOutput, rasterize_tiles
+
+
+def rasterize_tile_sharded(
+    xyz: jnp.ndarray,
+    cov3d: Optional[jnp.ndarray],
+    opacity: jnp.ndarray,
+    color: jnp.ndarray,
+    feature: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+    mesh: Mesh,
+    axis: str = "tile",
+    means2d_offset: Optional[jnp.ndarray] = None,
+    feature_weight: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
+    quat: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Differentiable render of one view with the tile grid sharded over
+    ``mesh`` axis ``axis``. Matches ``rasterize`` exactly (same kernels, same
+    capacity semantics); all Gaussian inputs replicated."""
+    tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
+    num_tiles = tiles_x * tiles_y
+    n_shards = mesh.shape[axis]
+    n_local = -(-num_tiles // n_shards)
+
+    P_cap = xyz.shape[0]
+    if means2d_offset is None:
+        means2d_offset = jnp.zeros((P_cap, 2), jnp.float32)
+    fw = jnp.ones((P_cap,), jnp.float32) if feature_weight is None else feature_weight
+    fused = scale is not None
+    geom = (scale, quat) if fused else (cov3d,)
+
+    def body(xyz, geom, opacity, color, feature, alive, cam, offset, fw):
+        t0 = jax.lax.axis_index(axis) * n_local
+        out, bins, prep = rasterize_tiles(
+            xyz,
+            None if fused else geom[0],
+            opacity, color, feature, alive, cam, cfg,
+            means2d_offset=offset,
+            feature_weight=fw,
+            scale=geom[0] if fused else None,
+            quat=geom[1] if fused else None,
+            tile_range=(t0, n_local),
+        )
+        return (
+            out.values,                      # [n_local, npix, 7] -> tile-sharded
+            out.final_t,                     # [n_local, npix]
+            bins.overflow[None],             # [1] per shard
+            bins.clipped,                    # replicated (global per-Gaussian stat)
+            prep.radius,                     # replicated
+        )
+
+    repl = P()
+    values, final_t, overflow, clipped, radius = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(repl,) * 9,
+        out_specs=(P(axis), P(axis), P(axis), repl, repl),
+    )(xyz, geom, opacity, color, feature, alive, cam, means2d_offset, fw)
+
+    H, W = cam.height, cam.width
+    vals = assemble_image(values[:num_tiles], tiles_x, tiles_y, cfg.tile, H, W)
+    ft = assemble_image(
+        final_t[:num_tiles, :, None], tiles_x, tiles_y, cfg.tile, H, W
+    )[..., 0]
+    return RenderOutput(
+        color=vals[..., :3] + ft[..., None] * bg[None, None, :],
+        depth=vals[..., 3],
+        alpha=1.0 - ft,
+        feature=vals[..., 4:7],
+        radii=jax.lax.stop_gradient(radius),
+        visibility=jax.lax.stop_gradient(radius > 0.0),
+        overflow=jnp.sum(overflow),
+        clipped=clipped,
+    )
+
+
+def render_tile_sharded(
+    cam: Camera,
+    g: Gaussians,
+    cfg: RasterizeConfig,
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+    mesh: Mesh,
+    axis: str = "tile",
+    means2d_offset: Optional[jnp.ndarray] = None,
+    confidence: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    """Tile-sharded twin of ``sdpgs_tpu.render.render``."""
+    color = g.colors_from_sh(cam.cam_pos, active_sh_degree)
+    feature = g.language_feature_normalized()
+    return rasterize_tile_sharded(
+        g.xyz, None, g.get_opacity()[:, 0], color, feature, g.alive, cam, bg,
+        cfg, mesh, axis=axis,
+        means2d_offset=means2d_offset,
+        feature_weight=confidence[:, 0] if confidence is not None else None,
+        scale=g.get_scaling(), quat=g.get_rotation(),
+    )
