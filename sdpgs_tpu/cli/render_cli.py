@@ -66,6 +66,11 @@ def main(argv=None):
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--video", action="store_true", help="spiral path frames")
+    p.add_argument(
+        "--spiral", action="store_true",
+        help="render the RenderScene spiral path built from poses_bounds.npy "
+             "of all source views (reference RenderScene/CreateLLFFSpiral)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -108,6 +113,26 @@ def main(argv=None):
             )
             out = render_fn(cam, scene.gaussians, cfg.raster, bg, cfg.model.sh_degree)
             save_png(vdir / f"{i:05d}.png", np.asarray(out.color))
+    if args.spiral:
+        from sdpgs_tpu.data.scene import RenderScene
+        from sdpgs_tpu.render import render as render_fn
+
+        rscene = RenderScene(cfg, load_iteration=iteration)
+        vdir = out_root / "video_spiral" / f"ours_{iteration}"
+        vdir.mkdir(parents=True, exist_ok=True)
+        brightness = 0.0
+        for i, cam in enumerate(rscene.render_cameras):
+            out = render_fn(cam.camera, rscene.gaussians, cfg.raster, bg,
+                            cfg.model.sh_degree)
+            img = np.asarray(out.color)
+            brightness = max(brightness, float(img.mean()))
+            save_png(vdir / f"{i:05d}.png", img)
+        if brightness < 1e-3:
+            print(
+                "WARNING: every spiral frame is black — poses_bounds.npy is "
+                "likely in the wrong convention (LLFF stores c2w columns as "
+                "[down, right, back])."
+            )
     print("rendering done")
 
 

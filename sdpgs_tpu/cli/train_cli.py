@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     # optimization overrides (reference per-scene flags, run_llff_mvs.sh)
     for f in dataclasses.fields(OptimizationConfig):
-        if f.name in ("test_iterations", "save_iterations", "checkpoint_iterations"):
+        # flags already declared explicitly above
+        if f.name in ("iterations", "test_iterations", "save_iterations",
+                      "checkpoint_iterations"):
             continue
         if isinstance(f.default, bool):
             p.add_argument(f"--{f.name}", type=lambda s: s.lower() == "true",

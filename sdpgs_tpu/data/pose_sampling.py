@@ -360,3 +360,52 @@ def generate_ellipse_path(
         rp[:3, :3] /= s
         out.append(np.linalg.inv(rp))
     return np.stack(out, axis=0)
+
+
+def render_spiral_path(
+    poses3: np.ndarray, bounds: np.ndarray, n_frames: int = 180,
+    n_rots: int = 2, zrate: float = 0.5,
+) -> np.ndarray:
+    """Forward-facing spiral over *recentered* [N, 3, 4] LLFF poses
+    (reference render_generate_spiral_path, pose_utils.py:51-79): unlike
+    ``generate_spiral_path`` there is no bounds rescale and the output stays
+    in the recentered c2w frame (``backcenter_poses`` maps it back)."""
+    bounds = np.asarray(bounds, np.float64)
+    close_depth, inf_depth = bounds.min() * 0.9, bounds.max() * 5.0
+    dt = 0.75
+    focal = 1.0 / ((1 - dt) / close_depth + dt / inf_depth)
+
+    positions = poses3[:, :3, 3]
+    radii = np.percentile(np.abs(positions), 90, 0)
+    radii = np.concatenate([radii, [1.0]])
+
+    cam2world = poses_avg(poses3)
+    up = poses3[:, :3, 1].mean(0)
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_frames, endpoint=False):
+        t = radii * [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]
+        position = cam2world @ t
+        lookat = cam2world @ [0, 0, -focal, 1.0]
+        z_axis = position - lookat
+        out.append(viewmatrix(z_axis, up, position))
+    return np.stack(out, axis=0)
+
+
+def backcenter_poses(poses: np.ndarray, pose_ref: np.ndarray) -> np.ndarray:
+    """Undo ``recenter_poses`` using the reference capture's average pose
+    (reference pose_utils.py:80-84)."""
+    cam2world = poses_avg(pose_ref)
+    return unpad_poses(pad_poses(cam2world) @ pad_poses(poses))
+
+
+def convert_poses(poses: np.ndarray):
+    """[3, 5, N] LLFF-format render poses -> (Rs, tvecs, H, W, focal)
+    world-to-camera decomposition (reference pose_utils.py:85-101)."""
+    poses = np.concatenate(
+        [poses[:, 1:2], poses[:, 0:1], -poses[:, 2:3], poses[:, 3:4], poses[:, 4:5]],
+        axis=1,
+    ).transpose(2, 0, 1)
+    bottom = np.tile(np.array([0, 0, 0, 1.0]).reshape(1, 1, 4), (poses.shape[0], 1, 1))
+    H, W, focal = poses[0, :, -1]
+    w2c = np.linalg.inv(np.concatenate([poses[..., :4], bottom], axis=1))
+    return w2c[:, :3, :3], w2c[:, :3, -1], H, W, focal

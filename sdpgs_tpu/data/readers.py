@@ -9,7 +9,10 @@ Parity with reference/scene/dataset_readers.py:
   language features (``<name>_s.npy`` seg map + ``<name>_fdim3.npy`` feature
   dict, ids remapped contiguous), aligned train depth
   ``depth_adjust_maps_stereo/depth_*.npy`` vs test mono png.
-- Blender reader (:663-748) with PFM mono depth.
+- Blender reader (:663-748,821-901): hardcoded train indices, every-8th test
+  holdout, inverted PFM mono depth for train views.
+- mip-NeRF-360 reader (:751-820,904-963): transforms.json + train_test_split.
+- Spiral render-path scene (CreateLLFFSpiral, :995-1038).
 """
 
 from __future__ import annotations
@@ -311,19 +314,26 @@ def read_colmap_scene(
     )
 
 
+# Blender train split (reference dataset_readers.py:835,852: hardcoded
+# indices into transforms_train.json, not a linspace subsample)
+BLENDER_TRAIN_IDX = [2, 16, 26, 55, 73, 76, 86, 93]
+
+
 def read_blender_scene(
     path, white_background: bool = False, eval: bool = True, n_views: int = 8,
-    seed: int = 0,
+    llffhold: int = 8, features: Optional[str] = None, seed: int = 0,
 ) -> SceneInfo:
-    """NeRF-synthetic reader (reference dataset_readers.py:663-748)."""
+    """NeRF-synthetic reader (reference dataset_readers.py:663-748,821-963)."""
     path = Path(path)
+    features_dir = path / (features or "language_features_GGrouping_dim3")
 
-    def read_split(transforms_file, holdout=1):
+    def read_split(transforms_file, train_names):
         meta = json.loads((path / transforms_file).read_text())
         fovx = meta["camera_angle_x"]
         infos = []
         for idx, frame in enumerate(meta["frames"]):
             img_path = path / (frame["file_path"] + ".png")
+            name = Path(frame["file_path"]).name
             c2w = np.array(frame["transform_matrix"])
             c2w[:3, 1:3] *= -1                      # blender -> colmap axes
             w2c = np.linalg.inv(c2w)
@@ -339,25 +349,59 @@ def read_blender_scene(
                 rgb = im
             H, W = rgb.shape[:2]
             fovy = focal2fov(fov2focal(fovx, W), H)
+
+            # train views: inverted PFM mono prior (dataset_readers.py:734-736
+            # reads the pfm and flips it: depth.max() - depth); test: png
             depth = None
-            dp = path / "depth_maps" / f"depth_{Path(frame['file_path']).name}.pfm"
-            if dp.exists():
-                depth = read_pfm(dp).astype(np.float32)
+            is_train = name in train_names and "train" in str(img_path)
+            if is_train:
+                dp = path / "depth_maps" / f"depth_{name}.pfm"
+                if dp.exists():
+                    depth = read_pfm(dp).astype(np.float32)
+                    depth = depth.max() - depth
+                    depth = resize_nearest(depth, H, W)
+            else:
+                dp = path / "depth_maps" / f"depth_{name}.png"
+                if dp.exists():
+                    from PIL import Image as PILImage
+
+                    depth = np.asarray(PILImage.open(dp).convert("L"), np.float32)
+                    depth = resize_nearest(depth, H, W)
+
+            point_feature = seg_map = feature_dict = None
+            if (features_dir / f"{name}_s.npy").exists():
+                point_feature, seg_map, feature_dict = load_language_features(
+                    features_dir, name, H, W
+                )
+
             infos.append(
                 CameraInfo(
                     uid=idx, R=R, T=T, FovX=fovx, FovY=fovy, image=rgb,
-                    image_path=str(img_path), image_name=Path(frame["file_path"]).name,
+                    image_path=str(img_path), image_name=name,
                     width=W, height=H, depth_mono=depth,
                     bounds=np.array([2.0, 6.0]),
+                    point_feature=point_feature, seg_map=seg_map,
+                    feature_dict=feature_dict,
                 )
             )
         return infos
 
-    train_cams = read_split("transforms_train.json")
-    test_cams = read_split("transforms_test.json") if eval else []
-    if n_views > 0 and len(train_cams) > n_views:
-        idx_sub = [round(i) for i in np.linspace(0, len(train_cams) - 1, n_views)]
-        train_cams = [c for i, c in enumerate(train_cams) if i in idx_sub]
+    train_meta = json.loads((path / "transforms_train.json").read_text())
+    all_train_names = [Path(f["file_path"]).name for f in train_meta["frames"]]
+    if eval and n_views > 0:
+        train_idx = BLENDER_TRAIN_IDX[:n_views] if n_views <= 8 else BLENDER_TRAIN_IDX
+        train_names = [c for i, c in enumerate(all_train_names) if i in train_idx]
+    else:
+        train_names = all_train_names
+
+    train_cams = read_split("transforms_train.json", train_names)
+    if eval and n_views > 0:
+        train_cams = [c for c in train_cams if c.image_name in train_names]
+    test_cams = []
+    if eval:
+        test_all = read_split("transforms_test.json", train_names)
+        # reference keeps every llffhold-th test view (dataset_readers.py:854)
+        test_cams = [c for i, c in enumerate(test_all) if i % llffhold == 0]
 
     rng = np.random.default_rng(seed)
     num_pts = 100_000
@@ -370,4 +414,134 @@ def read_blender_scene(
         train_cameras=train_cams, test_cameras=test_cams,
         nerf_normalization=get_nerfpp_norm(train_cams),
         ply_path=str(path / "points3d.ply"),
+    )
+
+
+def read_mipnerf360_scene(
+    path, white_background: bool = False, eval: bool = True, n_views: int = 3,
+    features: Optional[str] = None, seed: int = 0,
+) -> SceneInfo:
+    """mip-NeRF-360 reader (reference readmipnerf360Info,
+    dataset_readers.py:904-963 + readCamerasFromTransforms_mipnerf :751-820):
+    a single ``transforms.json`` with explicit fl_x/fl_y/cx/cy intrinsics and
+    a ``train_test_split_<n>.json`` index split; train views get language
+    features, test views none; alpha-composited onto the background."""
+    path = Path(path)
+    split = json.loads((path / f"train_test_split_{n_views}.json").read_text())
+    meta = json.loads((path / "transforms.json").read_text())
+    features_dir = path / (features or "language_features_GGrouping_dim3")
+
+    fx, fy = meta["fl_x"], meta["fl_y"]
+    w, h = meta["w"], meta["h"]
+    fovx = focal2fov(fx, w)
+
+    def read_views(idx_set, with_features):
+        infos = []
+        for idx, frame in enumerate(meta["frames"]):
+            if idx not in idx_set:
+                continue
+            img_path = path / frame["file_path"]
+            name = Path(frame["file_path"]).stem
+            c2w = np.array(frame["transform_matrix"])
+            c2w[:3, 1:3] *= -1                      # opengl -> colmap axes
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3].T
+            T = w2c[:3, 3]
+            from PIL import Image
+
+            im = np.asarray(Image.open(img_path).convert("RGBA"), np.float32) / 255.0
+            bgcol = np.array([1.0, 1.0, 1.0]) if white_background else np.zeros(3)
+            rgb = im[..., :3] * im[..., 3:4] + bgcol * (1 - im[..., 3:4])
+            H, W = rgb.shape[:2]
+            fovy = focal2fov(fov2focal(fovx, W), H)
+
+            point_feature = seg_map = feature_dict = None
+            if with_features and (features_dir / f"{name}_s.npy").exists():
+                point_feature, seg_map, feature_dict = load_language_features(
+                    features_dir, name, H, W
+                )
+            infos.append(
+                CameraInfo(
+                    uid=idx, R=R, T=T, FovX=fovx, FovY=fovy, image=rgb,
+                    image_path=str(img_path), image_name=name, width=W, height=H,
+                    point_feature=point_feature, seg_map=seg_map,
+                    feature_dict=feature_dict,
+                )
+            )
+        return infos
+
+    train_cams = read_views(set(split["train_ids"]), with_features=True)
+    test_cams = read_views(set(split["test_ids"]), with_features=False) if eval else []
+
+    # random init cloud inside the synthetic bounds (dataset_readers.py:940-951)
+    rng = np.random.default_rng(seed)
+    num_pts = 10_000
+    pts = (rng.random((num_pts, 3)) * 2.6 - 1.3).astype(np.float32)
+    from sdpgs_tpu.core.sh import sh_to_rgb
+
+    cols = np.asarray(sh_to_rgb(rng.random((num_pts, 3)) / 255.0), np.float32)
+    ply_path = path / "points3d.ply"
+    if not ply_path.exists():
+        try:
+            write_pointcloud_ply(ply_path, pts, cols)
+        except OSError:
+            pass
+    if ply_path.exists():
+        pts, cols, _ = read_pointcloud_ply(ply_path)
+
+    return SceneInfo(
+        points=pts, colors=cols, normals=np.zeros_like(pts),
+        train_cameras=train_cams, test_cameras=test_cams,
+        nerf_normalization=get_nerfpp_norm(train_cams),
+        ply_path=str(ply_path),
+    )
+
+
+def read_spiral_scene(path, n_frames: int = 180) -> SceneInfo:
+    """Spiral render-path "scene" (reference CreateLLFFSpiral,
+    dataset_readers.py:995-1038): build ``n_frames`` camera poses on a
+    forward-facing spiral fitted to ``poses_bounds.npy``; no images, no point
+    cloud — consumed by the spiral-video renderer (``RenderScene``)."""
+    from sdpgs_tpu.data import pose_sampling
+
+    path = Path(path)
+    poses_arr = np.load(path / "poses_bounds.npy")
+    poses_o = poses_arr[:, :-2].reshape([-1, 3, 5])
+    bounds = poses_arr[:, -2:]
+
+    fix_rotation = np.array(
+        [[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+    )
+    poses = poses_o[:, :3, :4] @ fix_rotation
+    recentered, _ = pose_sampling.recenter_poses(poses)
+    render_poses = pose_sampling.render_spiral_path(
+        recentered, bounds, n_frames=n_frames
+    )
+    render_poses = pose_sampling.backcenter_poses(render_poses, poses)
+    render_poses = render_poses @ np.linalg.inv(fix_rotation)
+    # re-attach the (H, W, focal) column from the first source pose
+    render_poses = np.concatenate(
+        [render_poses, np.tile(poses_o[:1, :3, 4:], (render_poses.shape[0], 1, 1))],
+        axis=-1,
+    )
+
+    Rs, tvecs, H, W, focal = pose_sampling.convert_poses(
+        render_poses.transpose([1, 2, 0])
+    )
+    H, W = int(H), int(W)
+    FovY = focal2fov(focal, H)
+    FovX = focal2fov(focal, W)
+    cams = [
+        CameraInfo(
+            uid=i, R=np.transpose(Rs[i]), T=tvecs[i], FovX=FovX, FovY=FovY,
+            image=None, image_path="", image_name=f"spiral_{i:05d}",
+            width=W, height=H,
+        )
+        for i in range(len(Rs))
+    ]
+    return SceneInfo(
+        points=np.zeros((0, 3), np.float32), colors=np.zeros((0, 3), np.float32),
+        normals=np.zeros((0, 3), np.float32),
+        train_cameras=[], test_cameras=cams,
+        nerf_normalization=get_nerfpp_norm(cams), ply_path="",
     )

@@ -26,7 +26,12 @@ from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.core.gaussians import Gaussians, create_from_points
 from sdpgs_tpu.data import pose_sampling
 from sdpgs_tpu.data.camera_utils import LoadedCamera, camera_to_json, load_camera
-from sdpgs_tpu.data.readers import read_blender_scene, read_colmap_scene
+from sdpgs_tpu.data.readers import (
+    read_blender_scene,
+    read_colmap_scene,
+    read_mipnerf360_scene,
+    read_spiral_scene,
+)
 
 
 def unify_segments(cams: List[LoadedCamera]) -> np.ndarray:
@@ -68,12 +73,15 @@ def unify_segments(cams: List[LoadedCamera]) -> np.ndarray:
 
 
 def detect_scene_type(source_path: str) -> str:
-    """reference scene/__init__.py:52-60."""
+    """reference scene/__init__.py:52-60 (+ the mipnerf360 branch the
+    reference ships commented out at :48-50, enabled here)."""
     sp = Path(source_path)
     if (sp / "sparse").exists():
         return "colmap"
     if (sp / "transforms_train.json").exists():
         return "blender"
+    if (sp / "transforms.json").exists():
+        return "mipnerf360"
     raise ValueError(f"could not recognize scene type at {source_path}")
 
 
@@ -105,10 +113,15 @@ class Scene:
                 dataset="DTU" if dataset_flavor == "dtu" else "LLFF",
                 seed=cfg.seed,
             )
+        elif stype == "mipnerf360":
+            info = read_mipnerf360_scene(
+                m.source_path, white_background=m.white_background, eval=m.eval,
+                n_views=m.nviews, features=m.language_features_name, seed=cfg.seed,
+            )
         else:
             info = read_blender_scene(
                 m.source_path, white_background=m.white_background, eval=m.eval,
-                n_views=m.nviews, seed=cfg.seed,
+                n_views=m.nviews, features=m.language_features_name, seed=cfg.seed,
             )
         self.info = info
         self.cameras_extent = float(info.nerf_normalization["radius"])
@@ -194,3 +207,37 @@ class Scene:
         out = Path(self.model_path) / "point_cloud" / f"iteration_{iteration}"
         out.mkdir(parents=True, exist_ok=True)
         save_gaussians_ply(out / "point_cloud.ply", gaussians)
+
+
+class RenderScene:
+    """Spiral-video render scene (reference RenderScene,
+    scene/__init__.py:212-255): cameras come from the Spiral reader
+    (``poses_bounds.npy`` of *all* source views, not just the few-shot train
+    subset); Gaussians load from a trained PLY snapshot."""
+
+    def __init__(self, cfg: TrainConfig, load_iteration: Optional[int] = None,
+                 n_frames: int = 180):
+        m = cfg.model
+        self.cfg = cfg
+        self.model_path = m.model_path
+        info = read_spiral_scene(m.source_path, n_frames=n_frames)
+        self.info = info
+        self.cameras_extent = float(info.nerf_normalization["radius"])
+        self.render_cameras = [
+            load_camera(c, m.resolution) for c in info.test_cameras
+        ]
+
+        if load_iteration is None:
+            iters = sorted(
+                int(p.name.split("_")[1])
+                for p in (Path(self.model_path) / "point_cloud").iterdir()
+            )
+            load_iteration = iters[-1]
+        self.loaded_iter = load_iteration
+        from sdpgs_tpu.data.ply import load_gaussians_ply
+
+        ply = (
+            Path(self.model_path) / "point_cloud"
+            / f"iteration_{load_iteration}" / "point_cloud.ply"
+        )
+        self.gaussians = load_gaussians_ply(ply, m.capacity, m.sh_degree)

@@ -45,3 +45,25 @@ def test_turbo_depth_range(rng):
     img = turbo_depth(d)
     assert img.shape == (16, 16, 3)
     assert img.min() >= 0 and img.max() <= 1
+
+
+def test_train_cli_argv_smoke(tmp_path):
+    """The real ``python train.py`` argv surface (a parser bug once broke
+    every CLI invocation while Trainer-level tests stayed green)."""
+    from test_scene import make_colmap_scene
+
+    from sdpgs_tpu.cli.train_cli import build_parser, main as train_main
+
+    build_parser()  # argparse conflicts raise here
+
+    root = tmp_path / "scene"
+    root.mkdir()
+    make_colmap_scene(root)
+    train_main([
+        "-s", str(root), "-m", str(tmp_path / "out"), "-r", "2",
+        "-l", "features_dim3", "--capacity", "256", "--iterations", "2",
+        "--test_iterations", "-1", "--save_iterations", "2",
+        "--checkpoint_iterations", "-1", "--quiet",
+        "--densify_grad_threshold", "0.002", "--depth_weight", "0.05",
+    ])
+    assert (tmp_path / "out" / "point_cloud" / "iteration_2").exists()

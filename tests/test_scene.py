@@ -110,3 +110,131 @@ def test_scene_from_colmap(tmp_path):
     scene.save(10, scene.gaussians)
     scene2 = Scene(cfg, load_iteration=10)
     assert int(scene2.gaussians.num_alive()) == n_alive
+
+
+def _write_png(path, H, W, rng, alpha=False):
+    from PIL import Image
+
+    c = 4 if alpha else 3
+    img = (rng.uniform(size=(H, W, c)) * 255).astype(np.uint8)
+    Image.fromarray(img, "RGBA" if alpha else "RGB").save(path)
+
+
+def make_blender_scene(root, n_train=20, n_test=16, W=32, H=24):
+    import json
+
+    rng = np.random.default_rng(1)
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+
+    def frames(split, n):
+        out = []
+        for i in range(n):
+            name = f"r_{i}"
+            c2w = np.eye(4)
+            c2w[:3, 3] = rng.normal(size=3)
+            out.append({"file_path": f"./{split}/{name}",
+                        "transform_matrix": c2w.tolist()})
+            _write_png(root / split / f"{name}.png", H, W, rng, alpha=True)
+        return out
+
+    for split, n in (("train", n_train), ("test", n_test)):
+        meta = {"camera_angle_x": 0.7, "frames": frames(split, n)}
+        (root / f"transforms_{split}.json").write_text(json.dumps(meta))
+    return root
+
+
+def test_blender_scene_reference_split(tmp_path):
+    """Train split = reference's hardcoded indices (dataset_readers.py:835),
+    test = every 8th of transforms_test (:854)."""
+    from sdpgs_tpu.data.readers import BLENDER_TRAIN_IDX, read_blender_scene
+
+    root = tmp_path / "nerf_synthetic"
+    root.mkdir()
+    make_blender_scene(root)
+    info = read_blender_scene(root, white_background=True, eval=True, n_views=8)
+
+    expect = [f"r_{i}" for i in BLENDER_TRAIN_IDX if i < 20]
+    assert [c.image_name for c in info.train_cameras] == expect
+    assert [c.image_name for c in info.test_cameras] == ["r_0", "r_8"]
+    assert info.train_cameras[0].image.shape == (24, 32, 3)
+    assert detect_scene_type(root) == "blender"
+
+
+def test_mipnerf360_scene(tmp_path):
+    """reference readmipnerf360Info (dataset_readers.py:904-963)."""
+    import json
+
+    from sdpgs_tpu.data.readers import read_mipnerf360_scene
+
+    root = tmp_path / "m360"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    W, H = 32, 24
+    frames = []
+    for i in range(10):
+        c2w = np.eye(4)
+        c2w[:3, 3] = rng.normal(size=3)
+        frames.append({"file_path": f"images/frame_{i:03d}.png",
+                       "transform_matrix": c2w.tolist()})
+        _write_png(root / "images" / f"frame_{i:03d}.png", H, W, rng, alpha=True)
+    (root / "transforms.json").write_text(json.dumps(
+        {"fl_x": 30.0, "fl_y": 30.0, "w": W, "h": H, "cx": W / 2, "cy": H / 2,
+         "frames": frames}
+    ))
+    (root / "train_test_split_3.json").write_text(json.dumps(
+        {"train_ids": [1, 4, 7], "test_ids": [0, 5]}
+    ))
+
+    info = read_mipnerf360_scene(root, eval=True, n_views=3)
+    assert [c.image_name for c in info.train_cameras] == [
+        "frame_001", "frame_004", "frame_007"]
+    assert [c.image_name for c in info.test_cameras] == ["frame_000", "frame_005"]
+    assert len(info.points) > 0
+    assert detect_scene_type(root) == "mipnerf360"
+
+
+def test_spiral_render_scene(tmp_path):
+    """reference CreateLLFFSpiral (dataset_readers.py:995-1038) +
+    RenderScene (scene/__init__.py:212-255)."""
+    from sdpgs_tpu.data.readers import read_spiral_scene
+    from sdpgs_tpu.data.scene import RenderScene
+
+    root = tmp_path / "llff_scene"
+    root.mkdir()
+    make_colmap_scene(root)
+    # LLFF poses_bounds with plausible c2w poses + (H, W, f) column
+    rng = np.random.default_rng(3)
+    n = 9
+    pb = np.zeros((n, 17))
+    for i in range(n):
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [0.2 * i - 1.0, 0.1 * rng.normal(), 0.05 * rng.normal()]
+        m = np.concatenate([c2w, np.array([[48.0], [64.0], [60.0]])], axis=1)
+        pb[i, :15] = m.reshape(-1)
+    pb[:, 15] = 1.0
+    pb[:, 16] = 10.0
+    np.save(root / "poses_bounds.npy", pb)
+
+    info = read_spiral_scene(root, n_frames=12)
+    assert len(info.test_cameras) == 12
+    assert info.test_cameras[0].width == 64 and info.test_cameras[0].height == 48
+    # valid rotations
+    R = info.test_cameras[0].R
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    # train briefly to produce a PLY, then RenderScene loads and renders
+    cfg = TrainConfig()
+    cfg.model.source_path = str(root)
+    cfg.model.model_path = str(tmp_path / "out")
+    cfg.model.resolution = 2
+    cfg.model.language_features_name = "features_dim3"
+    cfg.model.nviews = 3
+    cfg.model.capacity = 512
+    scene = Scene(cfg)
+    scene.save(10, scene.gaussians)
+
+    rscene = RenderScene(cfg, load_iteration=10, n_frames=6)
+    assert len(rscene.render_cameras) == 6
+    assert int(rscene.gaussians.num_alive()) == int(scene.gaussians.num_alive())
+    assert rscene.render_cameras[0].width == 32  # /2 resolution divider
