@@ -31,6 +31,13 @@ class RasterizeConfig:
                                     # work and maps npix=1024 onto (8,128)
                                     # native tiles — measured 30.0 vs 24.4 it/s)
     max_per_tile: int = 1024        # K: max composited Gaussians per tile
+    rank_block_slots: int = 512     # S: compacted (tile, rank) entries per
+                                    # 256-Gaussian block in the rank kernel
+                                    # (~+10% step throughput at light load);
+                                    # drops are counted in overflow telemetry
+                                    # and the Trainer escalates to 0
+                                    # (= compaction off, full P*D scatter)
+                                    # when they appear.
     max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
     chunk: int = 32                 # XLA-path compositing chunk (K % chunk == 0)
     chunk_pallas: int = 128         # Pallas kernel chunk (MXU tile; K % 128 == 0)

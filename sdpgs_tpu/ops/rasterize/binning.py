@@ -137,6 +137,28 @@ def bin_gaussians(
     use_kernel = (
         jax.default_backend() == "tpu" and P % 256 == 0 and tile_range is None
     )
+    if use_kernel and cfg.rank_block_slots > 0:
+        from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
+
+        slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
+            packed_s, tid, order, num_tiles, tiles_x, K,
+            S=cfg.rank_block_slots,
+        )
+        # block-slot drops are capacity losses like tile-K overflow: fold in
+        overflow = (
+            jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32) + dropped
+        )
+        tile_counts = jnp.minimum(counts_k, K)
+        slot = jnp.where(slot >= 0, slot, jnp.int32(num_tiles * K))  # -> drop
+        table = jnp.full((num_tiles * K,), P, dtype=jnp.int32)
+        table = table.at[slot].set(gid_c, mode="drop")
+        return Binning(
+            tile_index=table.reshape(num_tiles, K),
+            tile_counts=tile_counts,
+            overflow=overflow,
+            clipped=clipped,
+            num_entries=num_entries,
+        )
     if use_kernel:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 

@@ -125,3 +125,168 @@ def compute_ranks_pallas(
     )
     rank, counts = call(packed_sorted[None], tid[None])
     return rank[0], counts[0, :num_tiles]
+
+
+def _rank_compact_kernel(
+    packed_ref, tid_ref, gin_ref, rank_ref, slot_ref, gout_ref, counts_ref,
+    dropped_ref, carry_ref,
+    *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int, S: int,
+):
+    """Rank kernel + in-VMEM block compaction: at the final tile chunk each
+    Gaussian block emits its <=S valid (slot+1, gid) entries densely packed,
+    so the XLA table scatter runs over nb*S rows instead of P*D (the D-scaled
+    scatter was ~20% of the train step). Dynamic VMEM scatter is expressed as
+    a one-hot matmul (MXU) — TPU has no in-kernel scatter primitive."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when((b == 0) & (c == 0))
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    packed = packed_ref[0, :]                              # [Pb] i32
+    xmin = packed & 0x7F
+    xmax = (packed >> 7) & 0x7F
+    ymin = (packed >> 14) & 0x7F
+    ymax = (packed >> 21) & 0x7F
+
+    t0 = c * Tc
+    tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
+    ctx = tiles % tiles_x
+    cty = tiles // tiles_x
+
+    mask = (
+        (ctx[None, :] >= xmin[:, None])
+        & (ctx[None, :] < xmax[:, None])
+        & (cty[None, :] >= ymin[:, None])
+        & (cty[None, :] < ymax[:, None])
+    )
+    mf = mask.astype(jnp.float32)                          # [Pb, Tc]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
+    Lt = (row >= col).astype(jnp.float32)
+    within = jnp.dot(Lt, mf, preferred_element_type=jnp.float32)  # inclusive
+
+    carry_c = carry_ref[c, :]                              # [Tc]
+    excl = carry_c[None, :] + within - mf                  # [Pb, Tc]
+
+    for d in range(D):
+        td = tid_ref[0, :, d]                              # [Pb] i32, -1 = dead
+        hit = td[:, None] == tiles[None, :]
+        contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [Pb] f32
+        prev = jnp.where(c == 0, 0.0, rank_ref[0, :, d])
+        rank_ref[0, :, d] = prev + contrib
+
+    new_carry = carry_c + within[Pb - 1, :]
+    carry_ref[c, :] = new_carry
+    counts_ref[0, :] = new_carry.astype(jnp.int32)         # last b's write wins
+
+    @pl.when(c == nc - 1)
+    def _compact():
+        gid = gin_ref[0, :].astype(jnp.float32)            # [Pb]
+        tid_all = tid_ref[0, :, :]                         # [Pb, D]
+        rank_all = rank_ref[0, :, :]                       # [Pb, D] f32, final
+        vf = ((tid_all >= 0) & (rank_all < K)).astype(jnp.float32)
+        slot1 = (tid_all.astype(jnp.float32) * K + rank_all + 1.0) * vf
+
+        # dense position of each entry in the block's compact output:
+        # within-column exclusive cumsum (strict-lower triangular matmul)
+        # plus the running offset of earlier columns (entry order is
+        # d-major; any order works, the scatter only needs uniqueness)
+        strict = (row > col).astype(jnp.float32)           # [Pb, Pb]
+        excl = jnp.dot(strict, vf, preferred_element_type=jnp.float32)
+        tot = jnp.sum(vf, axis=0)                          # [D]
+        drow = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+        dcol = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+        offs = jnp.sum(jnp.where(dcol < drow, tot[None, :], 0.0), axis=1)  # [D]
+        pos = jnp.where(vf > 0, excl + offs[None, :], jnp.float32(S))
+        dropped = jnp.sum(vf * (pos >= S))
+        posi = pos.astype(jnp.int32)
+
+        out_slot = jnp.zeros((S,), jnp.float32)
+        out_gid = jnp.zeros((S,), jnp.float32)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, Pb), 0)
+        for d in range(D):
+            hit = iota_s == posi[:, d][None, :]            # [S, Pb]
+            out_slot = out_slot + jnp.sum(
+                jnp.where(hit, slot1[:, d][None, :], 0.0), axis=1
+            )
+            out_gid = out_gid + jnp.sum(
+                jnp.where(hit, (gid * vf[:, d])[None, :], 0.0), axis=1
+            )
+        slot_ref[0, :] = out_slot
+        gout_ref[0, :] = out_gid
+        dropped_ref[0, 0, :] = jnp.full((128,), dropped, jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
+                            tiles_x: int, K: int, S: int, interpret: bool):
+    Pb = 256
+    assert P % Pb == 0 and num_tiles_padded % Tc == 0
+    nb = P // Pb
+    nc = num_tiles_padded // Tc
+
+    return pl.pallas_call(
+        functools.partial(
+            _rank_compact_kernel, Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x,
+            nb=nb, nc=nc, K=K, S=S,
+        ),
+        grid=(nb, nc),
+        in_specs=[
+            pl.BlockSpec((1, Pb), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pb), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tc), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, P, D), jnp.float32),  # ranks (scratch-like)
+            jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
+            jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def compute_compact_entries_pallas(
+    packed_sorted: jnp.ndarray,   # [P] i32 packed rects, depth-sorted
+    tid: jnp.ndarray,             # [P, D] i32 entry tiles, -1 = dead slot
+    gid_sorted: jnp.ndarray,      # [P] i32 original Gaussian ids (sort order)
+    num_tiles: int,
+    tiles_x: int,
+    K: int,
+    S: int = 512,
+    Tc: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
+           counts [num_tiles] i32, dropped scalar i32).
+
+    ``slot`` already folds the within-tile rank: ``tile * K + rank`` for
+    entries with rank < K; rank-overflow entries are excluded (they are
+    counted via ``counts``)."""
+    P, D = tid.shape
+    pad_tiles = (-num_tiles) % Tc
+    call = _make_rank_compact_call(
+        P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S,
+        jax.default_backend() != "tpu",
+    )
+    _, slot1, gid, counts, dropped = call(
+        packed_sorted[None], tid[None], gid_sorted[None]
+    )
+    slot = slot1[0].astype(jnp.int32) - 1
+    return (
+        slot, gid[0].astype(jnp.int32), counts[0, :num_tiles],
+        jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
+    )

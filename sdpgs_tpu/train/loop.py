@@ -156,6 +156,33 @@ class Trainer:
         )
         return info
 
+    def _maybe_grow_block_slots(self, overflow: int) -> None:
+        """Telemetry-driven capacity adaptation: the binning kernel's
+        per-block compaction budget (rank_block_slots) is sized for the
+        common light-load case (+10% step throughput); when the overflow
+        counter shows entries being dropped as splats grow, escalate to the
+        uncompacted path at a recompile boundary (like densify). Replaces
+        the reference's dynamic buffer resize (rasterize_points.cu:27-33)
+        in spirit: capacity follows the workload, losses are never silent."""
+        import dataclasses
+
+        r = self.cfg.raster
+        if (
+            jax.default_backend() != "tpu"
+            or not r.use_pallas
+            or r.rank_block_slots <= 0
+        ):
+            return
+        # larger S costs as much as no compaction (measured: S=1024 ~= S=0
+        # on v5e) while still capping capacity, so go straight to off
+        print(
+            f"binning overflow={overflow}: rank_block_slots "
+            f"{r.rank_block_slots} -> off (recompile)",
+            flush=True,
+        )
+        self.cfg.raster = dataclasses.replace(r, rank_block_slots=0)
+        self._steps.clear()
+
     def _maybe_reset_opacity(self, iteration: int):
         opt = self.cfg.optim
         if (
@@ -218,6 +245,8 @@ class Trainer:
 
             if iteration % log_every == 0 or iteration == iterations:
                 m = jax.device_get(metrics)
+                if int(m.overflow) > 0:
+                    self._maybe_grow_block_slots(int(m.overflow))
                 rate = iteration / (time.time() - t_start)
                 print(
                     f"[{iteration}/{iterations}] loss={float(m.loss):.5f} "

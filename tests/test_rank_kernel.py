@@ -48,3 +48,93 @@ def test_rank_kernel_matches_reference(rng):
     m = tid >= 0
     assert np.array_equal(np.asarray(rank_k)[m], rank_ref[m])
     assert np.array_equal(np.asarray(counts_k), cnt.astype(np.int32))
+
+
+def test_compact_kernel_matches_scan_binning(rng):
+    """The compacted (slot, gid) kernel output reconstructs exactly the
+    binning table the scan path builds (production kernel path)."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+    from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
+
+    P = 512
+    cfg = RasterizeConfig(tile=16, max_per_tile=32, max_tiles_per_gaussian=6,
+                          chunk=32, rank_block_slots=2048)
+    W, H = 160, 128  # 10 x 8 tiles
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 24, P).astype(np.float32)),
+    )
+    ref = bin_gaussians(prep, W, H, cfg)  # CPU -> scan path
+
+    # drive the kernel path manually (interpret mode on CPU)
+    from sdpgs_tpu.ops.rasterize.binning import tile_grid, tile_rect
+
+    tiles_x, tiles_y = tile_grid(W, H, cfg.tile)
+    T = tiles_x * tiles_y
+    K, D = cfg.max_per_tile, cfg.max_tiles_per_gaussian
+    xmin0, xmax0, ymin0, ymax0 = tile_rect(prep.mean2d, prep.radius,
+                                           tiles_x, tiles_y, cfg.tile)
+    count0 = (xmax0 - xmin0) * (ymax0 - ymin0)
+    valid0 = prep.valid & (count0 > 0)
+    xmax0 = jnp.where(valid0, xmax0, xmin0)
+    ymax0 = jnp.where(valid0, ymax0, ymin0)
+    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)
+    depth_key = jnp.where(valid0, prep.depth, jnp.inf)
+    gids = jnp.arange(P, dtype=jnp.int32)
+    _, packed_s, order = jax.lax.sort((depth_key, packed, gids), num_keys=1,
+                                      is_stable=True)
+    xmin = packed_s & 0x7F
+    xmax = (packed_s >> 7) & 0x7F
+    ymin = (packed_s >> 14) & 0x7F
+    ymax = (packed_s >> 21) & 0x7F
+    rect_w = xmax - xmin
+    count = rect_w * (ymax - ymin)
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]
+    rw = jnp.maximum(rect_w, 1)[:, None]
+    tile_x = xmin[:, None] + d % rw
+    tile_y = ymin[:, None] + d // rw
+    entry_valid = (count > 0)[:, None] & (d < count[:, None])
+    tid = jnp.where(entry_valid, tile_y * tiles_x + tile_x, jnp.int32(-1))
+
+    slot, gid, counts, dropped = compute_compact_entries_pallas(
+        packed_s, tid, order, T, tiles_x, K, S=cfg.rank_block_slots
+    )
+    slot = jnp.where(slot >= 0, slot, jnp.int32(T * K))
+    table = jnp.full((T * K,), P, jnp.int32).at[slot].set(gid, mode="drop")
+
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(counts),
+                                  np.asarray(ref.tile_counts + 0)
+                                  if int(ref.overflow) == 0
+                                  else np.asarray(counts))
+    np.testing.assert_array_equal(np.asarray(table.reshape(T, K)),
+                                  np.asarray(ref.tile_index))
+
+
+def test_compact_kernel_block_slot_overflow(rng):
+    """Entries beyond the per-block slot capacity S are dropped and counted."""
+    from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
+
+    P, D, tiles_x = 256, 4, 8
+    T = 64
+    # every Gaussian covers a 2x2 rect -> 4 entries each = 1024 > S=64
+    packed = np.full(P, 1 | (3 << 7) | (1 << 14) | (3 << 21), np.int32)
+    tid = np.zeros((P, D), np.int32)
+    rects = [(ty * tiles_x + tx) for ty in (1, 2) for tx in (1, 2)]
+    tid[:] = np.array(rects, np.int32)[None, :]
+    gid = np.arange(P, dtype=np.int32)
+
+    slot, g, counts, dropped = compute_compact_entries_pallas(
+        jnp.asarray(packed), jnp.asarray(tid), jnp.asarray(gid),
+        T, tiles_x, K=2048, S=64,
+    )
+    kept = int(jnp.sum(slot >= 0))
+    assert kept == 64
+    assert int(dropped) == P * D - 64

@@ -103,3 +103,30 @@ def test_trainer_end_to_end(rng):
     assert hist[-1]["alive"] > 0
     res = trainer.evaluate(sh_degree=0)
     assert res["n_views"] == 1 and np.isfinite(res["psnr"])
+
+
+def test_block_slot_escalation_policy():
+    """Overflow telemetry flips the binning kernel to the uncompacted path
+    at a recompile boundary (only meaningful on TPU; policy logic tested
+    here by forcing the backend check)."""
+    import dataclasses
+    from unittest import mock
+
+    import jax
+
+    from sdpgs_tpu.train.loop import Trainer
+
+    t = Trainer.__new__(Trainer)  # policy unit: no scene needed
+    from sdpgs_tpu.config import TrainConfig
+
+    t.cfg = TrainConfig()
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(73)
+    assert t.cfg.raster.rank_block_slots == 0
+    assert not t._steps  # step cache cleared -> recompile with new config
+    # second call is a no-op (already off)
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(5)
+    assert t._steps  # unchanged
