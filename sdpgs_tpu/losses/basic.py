@@ -40,23 +40,30 @@ def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+def _blur_matrix(n: int, kernel1d: jnp.ndarray) -> jnp.ndarray:
+    """Banded Toeplitz matrix applying a SAME-zero-padded 1-D convolution:
+    out = M @ x with M[i, j] = kernel[j - i + pad]."""
+    k = kernel1d.shape[0]
+    pad = k // 2
+    idx = jnp.arange(n)
+    off = idx[None, :] - idx[:, None] + pad            # [n, n]
+    valid = (off >= 0) & (off < k)
+    return jnp.where(valid, kernel1d[jnp.clip(off, 0, k - 1)], 0.0)
+
+
 def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """[C, H, W] per-channel 2D convolution with a separable window, SAME
-    padding. Channels ride the batch dimension and the window is applied as
-    two rank-1 passes — grouped (feature_group_count) convs lower poorly on
-    TPU (~20ms/step for SSIM vs ~1ms this way)."""
+    zero padding, as two banded-Toeplitz matmuls. C_in=1 convolutions run
+    the MXU at 1/128th occupancy (measured 6ms for SSIM's five 11x11 blurs
+    at 504x378); dense [H,H]/[W,W] matmuls map to full MXU tiles (~0.5ms)."""
     C, H, W = img.shape
-    k = window.shape[0]
-    col = jnp.sum(window, axis=1).reshape(1, 1, k, 1)
-    row = (jnp.sum(window, axis=0) / jnp.maximum(jnp.sum(window), 1e-12)).reshape(1, 1, 1, k)
-    x = img[:, None]                                   # [C, 1, H, W]
-    x = jax.lax.conv_general_dilated(
-        x, col, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )
-    x = jax.lax.conv_general_dilated(
-        x, row, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )
-    return x[:, 0]
+    col = jnp.sum(window, axis=1)
+    row = jnp.sum(window, axis=0) / jnp.maximum(jnp.sum(window), 1e-12)
+    Tc = _blur_matrix(H, col)                          # [H, H]
+    Tr = _blur_matrix(W, row)                          # [W, W]
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.matmul(img, Tr.T, precision=hi)            # along W
+    return jnp.matmul(Tc, x, precision=hi)             # along H
 
 
 def ssim(
@@ -73,12 +80,19 @@ def ssim(
     g1 = _gaussian_window(window_size, 1.5)
     window = jnp.outer(g1, g1)
 
-    mu1 = _depthwise_conv(img1, window)
-    mu2 = _depthwise_conv(img2, window)
+    # one stacked blur: the five windowed moments share the Toeplitz matmuls
+    C = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    blurred = _depthwise_conv(stacked, window)
+    mu1, mu2, m11, m22, m12 = (
+        blurred[i * C:(i + 1) * C] for i in range(5)
+    )
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
 
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
