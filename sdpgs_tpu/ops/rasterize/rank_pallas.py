@@ -114,10 +114,13 @@ def compute_ranks_pallas(
     tid: jnp.ndarray,             # [P, D] i32 entry tiles, -1 = dead slot
     num_tiles: int,
     tiles_x: int,
-    Tc: int = 128,
+    Tc: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rank [P, D] i32, counts [num_tiles] i32)."""
     P, D = tid.shape
+    if Tc is None:
+        # one chunk when the grid fits (no carry loop; measured ~+2% step)
+        Tc = 256 if num_tiles <= 256 else 128
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x,
@@ -268,7 +271,7 @@ def compute_compact_entries_pallas(
     tiles_x: int,
     K: int,
     S: int = 512,
-    Tc: int = 128,
+    Tc: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32).
@@ -277,6 +280,8 @@ def compute_compact_entries_pallas(
     entries with rank < K; rank-overflow entries are excluded (they are
     counted via ``counts``)."""
     P, D = tid.shape
+    if Tc is None:
+        Tc = 256 if num_tiles <= 256 else 128
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S,
