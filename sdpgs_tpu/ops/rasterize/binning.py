@@ -134,38 +134,37 @@ def bin_gaussians(
     n_local = num_tiles if tile_range is None else tile_range[1]
 
     # --- 3. within-tile rank ------------------------------------------------
-    use_kernel = (
-        jax.default_backend() == "tpu" and P % 256 == 0 and tile_range is None
-    )
+    use_kernel = jax.default_backend() == "tpu" and P % 256 == 0
     # Block compaction only pays off (and only stays drop-free) when entry
     # counts per 256-Gaussian block stay well under S — true for the <=256
     # tile grids of the few-shot protocol (504x378 @ tile=32). On larger
     # grids splats span more tiles and S=512 measurably drops entries
     # (14.6k at 1008x756) while larger S costs as much as no compaction,
     # so fall through to the uncompacted scatter there.
-    if use_kernel and cfg.rank_block_slots > 0 and num_tiles <= 256:
+    if use_kernel and cfg.rank_block_slots > 0 and n_local <= 256:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
 
         slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
-            packed_s, tid, order, num_tiles, tiles_x, K,
+            packed_s, tid, order, n_local, tiles_x, K,
             S=cfg.rank_block_slots,
+            t0=None if tile_range is None else t0,
         )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
             jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32) + dropped
         )
         tile_counts = jnp.minimum(counts_k, K)
-        slot = jnp.where(slot >= 0, slot, jnp.int32(num_tiles * K))  # -> drop
-        table = jnp.full((num_tiles * K,), P, dtype=jnp.int32)
+        slot = jnp.where(slot >= 0, slot, jnp.int32(n_local * K))  # -> drop
+        table = jnp.full((n_local * K,), P, dtype=jnp.int32)
         table = table.at[slot].set(gid_c, mode="drop")
         return Binning(
-            tile_index=table.reshape(num_tiles, K),
+            tile_index=table.reshape(n_local, K),
             tile_counts=tile_counts,
             overflow=overflow,
             clipped=clipped,
             num_entries=num_entries,
         )
-    if use_kernel:
+    if use_kernel and tile_range is None:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 
         rank, counts_k = compute_ranks_pallas(packed_s, tid, num_tiles, tiles_x)

@@ -130,16 +130,22 @@ def compute_ranks_pallas(
     return rank[0], counts[0, :num_tiles]
 
 
-def _rank_compact_kernel(
-    packed_ref, tid_ref, gin_ref, rank_ref, slot_ref, gout_ref, counts_ref,
-    dropped_ref, carry_ref,
-    *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int, S: int,
+def _rank_compact_body(
+    t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_ref, gout_ref,
+    counts_ref, dropped_ref, carry_ref,
+    *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
+    S: int, n_valid: int,
 ):
     """Rank kernel + in-VMEM block compaction: at the final tile chunk each
     Gaussian block emits its <=S valid (slot+1, gid) entries densely packed,
     so the XLA table scatter runs over nb*S rows instead of P*D (the D-scaled
     scatter was ~20% of the train step). Dynamic VMEM scatter is expressed as
-    a one-hot matmul (MXU) — TPU has no in-kernel scatter primitive."""
+    a one-hot matmul (MXU) — TPU has no in-kernel scatter primitive.
+
+    ``t0g``: flat tile id of this shard's first tile (0, or a traced scalar
+    under tile-partitioned rasterization); ``n_valid``: true local tile count
+    (entries on padding tiles — which may alias the next shard's real tiles —
+    are excluded)."""
     b = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -153,7 +159,7 @@ def _rank_compact_kernel(
     ymin = (packed >> 14) & 0x7F
     ymax = (packed >> 21) & 0x7F
 
-    t0 = c * Tc
+    t0 = t0g + c * Tc
     tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
     ctx = tiles % tiles_x
     cty = tiles // tiles_x
@@ -189,9 +195,12 @@ def _rank_compact_kernel(
     def _compact():
         gid = gin_ref[0, :].astype(jnp.float32)            # [Pb]
         tid_all = tid_ref[0, :, :]                         # [Pb, D]
+        local = tid_all - t0g                              # shard-local tile id
         rank_all = rank_ref[0, :, :]                       # [Pb, D] f32, final
-        vf = ((tid_all >= 0) & (rank_all < K)).astype(jnp.float32)
-        slot1 = (tid_all.astype(jnp.float32) * K + rank_all + 1.0) * vf
+        vf = (
+            (tid_all >= 0) & (local >= 0) & (local < n_valid) & (rank_all < K)
+        ).astype(jnp.float32)
+        slot1 = (local.astype(jnp.float32) * K + rank_all + 1.0) * vf
 
         # dense position of each entry in the block's compact output:
         # within-column exclusive cumsum (strict-lower triangular matmul)
@@ -223,42 +232,68 @@ def _rank_compact_kernel(
         dropped_ref[0, 0, :] = jnp.full((128,), dropped, jnp.float32)
 
 
+def _rank_compact_kernel(packed_ref, tid_ref, gin_ref, *refs, **kw):
+    _rank_compact_body(0, packed_ref, tid_ref, gin_ref, *refs, **kw)
+
+
+def _rank_compact_kernel_t0(t0_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
+    _rank_compact_body(t0_ref[0], packed_ref, tid_ref, gin_ref, *refs, **kw)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
-                            tiles_x: int, K: int, S: int, interpret: bool):
+                            tiles_x: int, K: int, S: int, n_valid: int,
+                            with_offset: bool, interpret: bool):
     Pb = 256
     assert P % Pb == 0 and num_tiles_padded % Tc == 0
     nb = P // Pb
     nc = num_tiles_padded // Tc
 
+    # index maps take (*grid, *scalar_prefetch_refs); *_ absorbs the latter
+    in_specs = [
+        pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tc), lambda b, c, *_: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 128), lambda b, c, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, P, D), jnp.float32),  # ranks (scratch-like)
+        jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
+        jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
+        jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
+        jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)]
+    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K, S=S,
+              n_valid=n_valid)
+
+    if with_offset:
+        # the shard's first tile id arrives as a scalar-prefetch operand
+        return pl.pallas_call(
+            functools.partial(_rank_compact_kernel_t0, **kw),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nc),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )
     return pl.pallas_call(
-        functools.partial(
-            _rank_compact_kernel, Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x,
-            nb=nb, nc=nc, K=K, S=S,
-        ),
+        functools.partial(_rank_compact_kernel, **kw),
         grid=(nb, nc),
-        in_specs=[
-            pl.BlockSpec((1, Pb), lambda b, c: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pb), lambda b, c: (0, b), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b, c: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b, c: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tc), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, P, D), jnp.float32),  # ranks (scratch-like)
-            jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
-            jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -272,24 +307,33 @@ def compute_compact_entries_pallas(
     K: int,
     S: int = 512,
     Tc: int | None = None,
+    t0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32).
 
     ``slot`` already folds the within-tile rank: ``tile * K + rank`` for
-    entries with rank < K; rank-overflow entries are excluded (they are
-    counted via ``counts``)."""
+    entries with rank < K (shard-local tile when ``t0`` is given);
+    rank-overflow entries are excluded (they are counted via ``counts``).
+    ``t0``: traced scalar first-tile id for tile-partitioned rasterization —
+    only the ``num_tiles`` tiles from ``t0`` are binned."""
     P, D = tid.shape
     if Tc is None:
         Tc = 256 if num_tiles <= 256 else 128
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
-        P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S,
-        jax.default_backend() != "tpu",
+        P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
+        t0 is not None, jax.default_backend() != "tpu",
     )
-    _, slot1, gid, counts, dropped = call(
-        packed_sorted[None], tid[None], gid_sorted[None]
-    )
+    if t0 is not None:
+        _, slot1, gid, counts, dropped = call(
+            jnp.asarray(t0, jnp.int32).reshape(1),
+            packed_sorted[None], tid[None], gid_sorted[None],
+        )
+    else:
+        _, slot1, gid, counts, dropped = call(
+            packed_sorted[None], tid[None], gid_sorted[None]
+        )
     slot = slot1[0].astype(jnp.int32) - 1
     return (
         slot, gid[0].astype(jnp.int32), counts[0, :num_tiles],

@@ -73,13 +73,22 @@ class PseudoInputs(NamedTuple):
 
 
 def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
-                     cfg: TrainConfig, sh_degree: int, bg, step):
+                     cfg: TrainConfig, sh_degree: int, bg, step,
+                     tile_mesh=None):
     opt = cfg.optim
     # per-Gaussian confidence scales the feature compositing when enabled
     # (reference gaussian_renderer/__init__.py:227: pipe.use_confidence)
     conf = g.confidence if cfg.pipeline.use_confidence else None
-    out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset,
-                 confidence=conf)
+    if tile_mesh is not None:
+        from sdpgs_tpu.parallel.tile_shard import render_tile_sharded
+
+        out = render_tile_sharded(
+            cam, g, cfg.raster, bg, sh_degree, tile_mesh,
+            means2d_offset=offset, confidence=conf,
+        )
+    else:
+        out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset,
+                     confidence=conf)
     image = out.color.transpose(2, 0, 1)                 # [3, H, W]
     ll1 = l1_loss_mask(image, gt_img)
     loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim(image, gt_img))
@@ -140,11 +149,18 @@ def make_train_step(
     sh_degree: int,
     with_pseudo: bool = False,
     mono_depth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    tile_mesh=None,
 ) -> Callable:
     """Build the jitted train step for a given active SH degree (the degree
     warmup every 500 iters, train.py:85-86, selects among compiled steps).
     When ``with_pseudo`` the pseudo-view terms join the same loss/backward
-    (the reference adds them to ``loss`` before the single backward)."""
+    (the reference adds them to ``loss`` before the single backward).
+
+    ``tile_mesh``: a Mesh with a ``tile`` axis switches rendering to the
+    tile-partitioned rasterizer (SURVEY §2.3 item 3) — each view's tile grid
+    sharded over devices under the same vmapped view batch, composing DP
+    (views over ``data``) x ZeRO (moments over ``gauss``) x tile parallelism
+    in one jitted step."""
 
     def step_fn(state: TrainState, batch: ViewBatch, prototypes: jnp.ndarray,
                 bg: jnp.ndarray, spatial_lr_scale: jnp.ndarray,
@@ -160,7 +176,7 @@ def make_train_step(
             def one(cam, img, mono, feat, seg, off):
                 return _per_view_losses(
                     gg, cam, img, mono, feat, seg, prototypes, off,
-                    cfg, sh_degree, bg, state.step,
+                    cfg, sh_degree, bg, state.step, tile_mesh=tile_mesh,
                 )
 
             losses, aux = jax.vmap(one)(

@@ -161,3 +161,60 @@ def test_tile_sharded_gradients_match_single(rng):
             np.asarray(g_sh[k]), np.asarray(g_ref[k]), rtol=1e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_tile_sharded_train_step_matches(rng):
+    """Full train step with DP(views) x tile-parallel rendering in one jit
+    matches the single-device step (params and metrics)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdpgs_tpu.config import RasterizeConfig, TrainConfig
+    from sdpgs_tpu.core.camera import Camera
+    from sdpgs_tpu.core.gaussians import create_from_points
+    from sdpgs_tpu.parallel import make_mesh, shard_batch, shard_train_state
+    from sdpgs_tpu.train.state import TrainState
+    from sdpgs_tpu.train.step import ViewBatch, make_train_step
+
+    cfg = TrainConfig()
+    cfg.raster = RasterizeConfig(tile=16, max_per_tile=64,
+                                 max_tiles_per_gaussian=8, chunk=32,
+                                 use_pallas=False)
+
+    n, cap = 128, 256
+    pts = (rng.normal(size=(n, 3)) * 0.4 + [0, 0, 3.0]).astype(np.float32)
+    g = create_from_points(pts, rng.uniform(size=(n, 3)).astype(np.float32),
+                           cap, init_scale=np.full(n, 0.01))
+    V = 2
+    cams = [Camera.create(R=np.eye(3), T=np.array([0.1 * i, 0, 0]), fovx=0.9,
+                          fovy=0.7, width=64, height=48) for i in range(V)]
+    batch = ViewBatch(
+        camera=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams),
+        image=jnp.asarray(rng.uniform(size=(V, 3, 48, 64)).astype(np.float32)),
+        depth_mono=jnp.asarray(rng.uniform(1, 5, size=(V, 48, 64)).astype(np.float32)),
+        feature=jnp.zeros((V, 3, 48, 64)),
+        seg_map=jnp.zeros((V, 48, 64), np.int32),
+    )
+    protos, bg, lr = jnp.ones((4, 3)), jnp.zeros(3), jnp.float32(1.0)
+
+    g_copy = jax.tree_util.tree_map(jnp.copy, g)  # the jitted step donates
+    ref_state, ref_m = make_train_step(cfg, sh_degree=1)(
+        TrainState.create(g_copy), batch, protos, bg, lr)
+
+    mesh = make_mesh(data=2, gauss=1, tile=4)
+    with mesh:
+        state = shard_train_state(TrainState.create(g), mesh)
+        sbatch = shard_batch(batch, mesh)
+        step = make_train_step(cfg, sh_degree=1, tile_mesh=mesh)
+        new_state, m = step(state, sbatch, protos, bg, lr)
+        jax.block_until_ready(new_state)
+
+    np.testing.assert_allclose(float(m.loss), float(ref_m.loss), rtol=1e-5)
+    np.testing.assert_allclose(float(m.psnr), float(ref_m.psnr), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.xyz), np.asarray(ref_state.gaussians.xyz),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.opacity),
+        np.asarray(ref_state.gaussians.opacity), rtol=1e-4, atol=1e-6,
+    )

@@ -138,3 +138,70 @@ def test_compact_kernel_block_slot_overflow(rng):
     kept = int(jnp.sum(slot >= 0))
     assert kept == 64
     assert int(dropped) == P * D - 64
+
+
+def test_compact_kernel_tile_offset_matches_scan(rng):
+    """The scalar-prefetch tile-offset variant (tile-partitioned binning)
+    reconstructs the scan path's local tables for every shard."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians, tile_grid, tile_rect
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+    from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
+
+    P = 512
+    cfg = RasterizeConfig(tile=16, max_per_tile=32, max_tiles_per_gaussian=6,
+                          chunk=32, rank_block_slots=2048)
+    W, H = 160, 128  # 10 x 8 = 80 tiles
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 24, P).astype(np.float32)),
+    )
+    tiles_x, tiles_y = tile_grid(W, H, cfg.tile)
+    T = tiles_x * tiles_y
+    K, D = cfg.max_per_tile, cfg.max_tiles_per_gaussian
+    n_local = 32  # 80 tiles over 3 shards: padding tiles alias next shard
+
+    # shared sort + entry enumeration (mirrors bin_gaussians)
+    xmin0, xmax0, ymin0, ymax0 = tile_rect(prep.mean2d, prep.radius,
+                                           tiles_x, tiles_y, cfg.tile)
+    count0 = (xmax0 - xmin0) * (ymax0 - ymin0)
+    valid0 = prep.valid & (count0 > 0)
+    xmax0 = jnp.where(valid0, xmax0, xmin0)
+    ymax0 = jnp.where(valid0, ymax0, ymin0)
+    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)
+    depth_key = jnp.where(valid0, prep.depth, jnp.inf)
+    gids = jnp.arange(P, dtype=jnp.int32)
+    _, packed_s, order = jax.lax.sort((depth_key, packed, gids), num_keys=1,
+                                      is_stable=True)
+    xmin = packed_s & 0x7F
+    xmax = (packed_s >> 7) & 0x7F
+    ymin = (packed_s >> 14) & 0x7F
+    rect_w = xmax - xmin
+    count = rect_w * ((packed_s >> 21) & 0x7F)
+    count = rect_w * (((packed_s >> 21) & 0x7F) - ymin)
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]
+    rw = jnp.maximum(rect_w, 1)[:, None]
+    tile_x = xmin[:, None] + d % rw
+    tile_y = ymin[:, None] + d // rw
+    entry_valid = (count > 0)[:, None] & (d < count[:, None])
+    tid = jnp.where(entry_valid, tile_y * tiles_x + tile_x, jnp.int32(-1))
+
+    for t0 in (0, 32, 64):  # last shard: 16 real + 16 padding tiles
+        ref = bin_gaussians(prep, W, H, cfg,
+                            tile_range=(jnp.int32(t0), n_local))  # scan path
+        slot, gid, counts, dropped = compute_compact_entries_pallas(
+            packed_s, tid, order, n_local, tiles_x, K,
+            S=cfg.rank_block_slots, t0=jnp.int32(t0),
+        )
+        slot = jnp.where(slot >= 0, slot, jnp.int32(n_local * K))
+        table = jnp.full((n_local * K,), P, jnp.int32).at[slot].set(gid, mode="drop")
+        assert int(dropped) == 0
+        np.testing.assert_array_equal(np.asarray(table.reshape(n_local, K)),
+                                      np.asarray(ref.tile_index), err_msg=f"t0={t0}")
+        np.testing.assert_array_equal(np.minimum(np.asarray(counts), K),
+                                      np.asarray(ref.tile_counts), err_msg=f"t0={t0}")
