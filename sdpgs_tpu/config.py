@@ -31,6 +31,9 @@ class RasterizeConfig:
                                     # work and maps npix=1024 onto (8,128)
                                     # native tiles — measured 30.0 vs 24.4 it/s)
     max_per_tile: int = 1024        # K: max composited Gaussians per tile
+    rank_block_grouped: bool = True  # split S into per-rect-slot regions
+                                    # (d0/d1/rest) — fastest; flat layout
+                                    # tolerates more growth before dropping
     rank_block_slots: int = 512     # S: compacted (tile, rank) entries per
                                     # 256-Gaussian block in the rank kernel
                                     # (~+10% step throughput at light load);

@@ -148,6 +148,7 @@ def bin_gaussians(
             packed_s, tid, order, n_local, tiles_x, K,
             S=cfg.rank_block_slots,
             t0=None if tile_range is None else t0,
+            grouped=cfg.rank_block_grouped,
         )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (

@@ -131,10 +131,9 @@ def compute_ranks_pallas(
 
 
 def _rank_compact_body(
-    t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_ref, gout_ref,
-    counts_ref, dropped_ref, carry_ref,
-    *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
-    S: int, n_valid: int,
+    t0g, packed_ref, tid_ref, gin_ref, rank_ref, *rest,
+    Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
+    n_valid: int, groups: tuple, s_groups: tuple,
 ):
     """Rank kernel + in-VMEM block compaction: at the final tile chunk each
     Gaussian block emits its <=S valid (slot+1, gid) entries densely packed,
@@ -146,6 +145,10 @@ def _rank_compact_body(
     under tile-partitioned rasterization); ``n_valid``: true local tile count
     (entries on padding tiles — which may alias the next shard's real tiles —
     are excluded)."""
+    ng = len(groups)
+    slot_refs = rest[:ng]
+    gout_refs = rest[ng:2 * ng]
+    counts_ref, dropped_ref, carry_ref = rest[2 * ng:]
     b = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -202,33 +205,52 @@ def _rank_compact_body(
         ).astype(jnp.float32)
         slot1 = (local.astype(jnp.float32) * K + rank_all + 1.0) * vf
 
-        # dense position of each entry in the block's compact output:
-        # within-column exclusive cumsum (strict-lower triangular matmul)
-        # plus the running offset of earlier columns (entry order is
-        # d-major; any order works, the scatter only needs uniqueness)
+        # per-entry position within its group region: within-column
+        # exclusive cumsum (strict-lower triangular matmul) + totals of
+        # earlier columns in the same group
         strict = (row > col).astype(jnp.float32)           # [Pb, Pb]
         excl = jnp.dot(strict, vf, preferred_element_type=jnp.float32)
         tot = jnp.sum(vf, axis=0)                          # [D]
+        # group id per d = min(d, n_groups-1): singleton groups for d=0,1
+        # then the pooled tail (matches _group_layout)
         drow = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
         dcol = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
-        offs = jnp.sum(jnp.where(dcol < drow, tot[None, :], 0.0), axis=1)  # [D]
-        pos = jnp.where(vf > 0, excl + offs[None, :], jnp.float32(S))
-        dropped = jnp.sum(vf * (pos >= S))
-        posi = pos.astype(jnp.int32)
+        cap = len(groups) - 1
+        same = (
+            (jnp.minimum(drow, cap) == jnp.minimum(dcol, cap)) & (dcol < drow)
+        ).astype(jnp.float32)
+        offs = jnp.sum(same * tot[None, :], axis=1)        # [D]
+        pos = excl + offs[None, :]                         # [Pb, D]
 
-        out_slot = jnp.zeros((S,), jnp.float32)
-        out_gid = jnp.zeros((S,), jnp.float32)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, Pb), 0)
-        for d in range(D):
-            hit = iota_s == posi[:, d][None, :]            # [S, Pb]
-            out_slot = out_slot + jnp.sum(
-                jnp.where(hit, slot1[:, d][None, :], 0.0), axis=1
-            )
-            out_gid = out_gid + jnp.sum(
-                jnp.where(hit, (gid * vf[:, d])[None, :], 0.0), axis=1
-            )
-        slot_ref[0, :] = out_slot
-        gout_ref[0, :] = out_gid
+        # clamp/drop against the per-column group capacity on the full
+        # [Pb, D] array (column slices feed only simple broadcasts below —
+        # Mosaic rejects compute on lane-offset vectors)
+        diota = jax.lax.broadcasted_iota(jnp.int32, (Pb, D), 1)
+        sg_of_d = jnp.full((Pb, D), float(s_groups[-1]), jnp.float32)
+        for gi, ds in enumerate(groups[:-1]):
+            sg_of_d = jnp.where(diota == ds[0], float(s_groups[gi]), sg_of_d)
+        in_cap = (vf > 0) & (pos < sg_of_d)
+        pd_all = jnp.where(in_cap, pos, sg_of_d).astype(jnp.int32)  # [Pb, D]
+        dropped = jnp.sum(vf * (pos >= sg_of_d))
+
+        # each group region is its own full-width output (Mosaic cannot
+        # store at varying lane offsets); the XLA side concatenates the
+        # regions — scatter order is irrelevant
+        for gi, ds in enumerate(groups):
+            Sg = s_groups[gi]
+            out_slot = jnp.zeros((Sg,), jnp.float32)
+            out_gid = jnp.zeros((Sg,), jnp.float32)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (Sg, Pb), 0)
+            for d in ds:
+                hit = iota_g == pd_all[:, d][None, :]      # [Sg, Pb]
+                out_slot = out_slot + jnp.sum(
+                    jnp.where(hit, slot1[:, d][None, :], 0.0), axis=1
+                )
+                out_gid = out_gid + jnp.sum(
+                    jnp.where(hit, (gid * vf[:, d])[None, :], 0.0), axis=1
+                )
+            slot_refs[gi][0, :] = out_slot
+            gout_refs[gi][0, :] = out_gid
         dropped_ref[0, 0, :] = jnp.full((128,), dropped, jnp.float32)
 
 
@@ -240,14 +262,32 @@ def _rank_compact_kernel_t0(t0_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
     _rank_compact_body(t0_ref[0], packed_ref, tid_ref, gin_ref, *refs, **kw)
 
 
+def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
+    """The S compact slots split into regions by rect-slot index — d=0
+    (every valid Gaussian: up to Pb entries), d=1, and d>=2 pooled — so each
+    one-hot readout scans only its region instead of all S: one-hot rows
+    shrink from D*S to S/2 + S/4 + S/4 (measured ~2ms/step of VPU work at
+    D=8, S=512). Region capacities follow column occupancy; overruns are
+    counted in the telemetry."""
+    if D <= 2 or not grouped:
+        return (tuple(range(D)),), (S,)
+    groups = ((0,), (1,), tuple(range(2, D)))
+    # d0 capacity = S/2 (= Pb at S=512: a column can never exceed Pb, so d0
+    # never drops); d1 = S/2 (measured: S/4 drops ~650 entries even at
+    # fresh bench load); pooled tail S/4. Total 1.25*S scatter rows.
+    s_groups = (S // 2, S // 2, S // 4)
+    return groups, s_groups
+
+
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
-                            with_offset: bool, interpret: bool):
+                            with_offset: bool, grouped: bool, interpret: bool):
     Pb = 256
     assert P % Pb == 0 and num_tiles_padded % Tc == 0
     nb = P // Pb
     nc = num_tiles_padded // Tc
+    groups, s_groups = _group_layout(D, S, grouped)
 
     # index maps take (*grid, *scalar_prefetch_refs); *_ absorbs the latter
     in_specs = [
@@ -255,23 +295,33 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
     ]
-    out_specs = [
-        pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Tc), lambda b, c, *_: (0, c), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 128), lambda b, c, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((1, P, D), jnp.float32),  # ranks (scratch-like)
-        jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
-        jax.ShapeDtypeStruct((1, nb * S), jnp.float32),
-        jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
-        jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
-    ]
+    out_specs = (
+        [pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
+                      memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((1, sg), lambda b, c, *_: (0, b),
+                         memory_space=pltpu.VMEM)
+            for sg in s_groups
+        ] * 2
+        + [
+            pl.BlockSpec((1, Tc), lambda b, c, *_: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, c, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, P, D), jnp.float32)]  # ranks (scratch-like)
+        + [jax.ShapeDtypeStruct((1, nb * sg), jnp.float32)
+           for sg in s_groups] * 2
+        + [
+            jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
+        ]
+    )
     scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)]
-    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K, S=S,
-              n_valid=n_valid)
+    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K,
+              n_valid=n_valid, groups=groups, s_groups=s_groups)
 
     if with_offset:
         # the shard's first tile id arrives as a scalar-prefetch operand
@@ -308,6 +358,7 @@ def compute_compact_entries_pallas(
     S: int = 512,
     Tc: int | None = None,
     t0: jnp.ndarray | None = None,
+    grouped: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32).
@@ -323,19 +374,22 @@ def compute_compact_entries_pallas(
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
-        t0 is not None, jax.default_backend() != "tpu",
+        t0 is not None, grouped, jax.default_backend() != "tpu",
     )
     if t0 is not None:
-        _, slot1, gid, counts, dropped = call(
+        outs = call(
             jnp.asarray(t0, jnp.int32).reshape(1),
             packed_sorted[None], tid[None], gid_sorted[None],
         )
     else:
-        _, slot1, gid, counts, dropped = call(
-            packed_sorted[None], tid[None], gid_sorted[None]
-        )
-    slot = slot1[0].astype(jnp.int32) - 1
+        outs = call(packed_sorted[None], tid[None], gid_sorted[None])
+    ng = len(_group_layout(D, S, grouped)[0])
+    slot_parts = outs[1:1 + ng]
+    gid_parts = outs[1 + ng:1 + 2 * ng]
+    counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
+    slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
+    gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
     return (
-        slot, gid[0].astype(jnp.int32), counts[0, :num_tiles],
+        slot, gid, counts[0, :num_tiles],
         jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
     )

@@ -173,14 +173,20 @@ class Trainer:
             or r.rank_block_slots <= 0
         ):
             return
-        # larger S costs as much as no compaction (measured: S=1024 ~= S=0
-        # on v5e) while still capping capacity, so go straight to off
+        # escalation ladder: grouped regions (fastest, tightest capacity)
+        # -> flat S (tolerates ~20x more growth) -> off. Larger S costs as
+        # much as no compaction (measured: S=1024 ~= S=0 on v5e).
+        if r.rank_block_grouped:
+            new = dataclasses.replace(r, rank_block_grouped=False)
+            desc = "grouped -> flat"
+        else:
+            new = dataclasses.replace(r, rank_block_slots=0)
+            desc = f"S={r.rank_block_slots} -> off"
         print(
-            f"binning overflow={overflow}: rank_block_slots "
-            f"{r.rank_block_slots} -> off (recompile)",
+            f"binning overflow={overflow}: block compaction {desc} (recompile)",
             flush=True,
         )
-        self.cfg.raster = dataclasses.replace(r, rank_block_slots=0)
+        self.cfg.raster = new
         self._steps.clear()
 
     def _maybe_reset_opacity(self, iteration: int):

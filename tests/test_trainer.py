@@ -123,9 +123,15 @@ def test_block_slot_escalation_policy():
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(73)
-    assert t.cfg.raster.rank_block_slots == 0
+    assert not t.cfg.raster.rank_block_grouped      # grouped -> flat
+    assert t.cfg.raster.rank_block_slots == 512
     assert not t._steps  # step cache cleared -> recompile with new config
-    # second call is a no-op (already off)
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(90)
+    assert t.cfg.raster.rank_block_slots == 0       # flat -> off
+    assert not t._steps
+    # third call is a no-op (already off)
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(5)
