@@ -50,6 +50,8 @@ class RasterizeConfig:
     near: float = 0.2               # frustum near cull (auxiliary.h:154)
     low_pass: float = 0.3           # 2D cov dilation (forward.cu:110-111)
     use_pallas: bool = True         # Pallas compositing kernel vs pure-XLA path
+    use_rank_kernel: bool = True    # Pallas rank kernel vs the lax.scan path
+                                    # (debug/golden-comparison escape hatch)
 
 
 @dataclass

@@ -107,6 +107,9 @@ def bin_gaussians(
     packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)  # 7 bits each
 
     depth_key = jnp.where(valid0, prep.depth, jnp.inf)
+    # valid entries sort to the front (inf keys last): the rank kernels skip
+    # blocks past ceil(n_valid/256) entirely (dead-block skip, exact).
+    n_valid = jnp.sum(valid0.astype(jnp.int32))
     gids = jnp.arange(P, dtype=jnp.int32)
     _, packed_s, order = jax.lax.sort(
         (depth_key, packed, gids), num_keys=1, is_stable=True
@@ -134,7 +137,9 @@ def bin_gaussians(
     n_local = num_tiles if tile_range is None else tile_range[1]
 
     # --- 3. within-tile rank ------------------------------------------------
-    use_kernel = jax.default_backend() == "tpu" and P % 256 == 0
+    use_kernel = (
+        cfg.use_rank_kernel and jax.default_backend() == "tpu" and P % 256 == 0
+    )
     # Block compaction only pays off (and only stays drop-free) when entry
     # counts per 256-Gaussian block stay well under S — true for the <=256
     # tile grids of the few-shot protocol (504x378 @ tile=32). On larger
@@ -149,6 +154,7 @@ def bin_gaussians(
             S=cfg.rank_block_slots,
             t0=None if tile_range is None else t0,
             grouped=cfg.rank_block_grouped,
+            n_valid=n_valid,
         )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
@@ -168,7 +174,9 @@ def bin_gaussians(
     if use_kernel and tile_range is None:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 
-        rank, counts_k = compute_ranks_pallas(packed_s, tid, num_tiles, tiles_x)
+        rank, counts_k = compute_ranks_pallas(
+            packed_s, tid, num_tiles, tiles_x, n_valid=n_valid
+        )
         overflow = jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32)
         tile_counts = jnp.minimum(counts_k, K)
         return _scatter_table(

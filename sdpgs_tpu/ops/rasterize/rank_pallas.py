@@ -30,53 +30,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rank_kernel(packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
+def _rank_kernel(nbv_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
                  *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int):
     b = pl.program_id(0)
     c = pl.program_id(1)
+    nb_valid = nbv_ref[0]
 
     @pl.when((b == 0) & (c == 0))
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    packed = packed_ref[0, :]                              # [Pb] i32
-    xmin = packed & 0x7F
-    xmax = (packed >> 7) & 0x7F
-    ymin = (packed >> 14) & 0x7F
-    ymax = (packed >> 21) & 0x7F
+    # counts blocks are indexed by c: zero each on its first visit so a
+    # fully-dead grid (nb_valid == 0) still returns zeros.
+    @pl.when(b == 0)
+    def _():
+        counts_ref[0, :] = jnp.zeros((Tc,), jnp.int32)
 
-    t0 = c * Tc
-    tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
-    ctx = tiles % tiles_x
-    cty = tiles // tiles_x
+    # Dead-block skip: the depth sort puts invalid entries (key=inf) last, so
+    # blocks past ceil(n_valid/Pb) hold no live entries — skip their compute
+    # entirely (at 60k alive / 131k capacity that's >half the grid). Their
+    # rank output is garbage but downstream masks it by entry validity; the
+    # counts block persists in VMEM across b (same block index), so the last
+    # *valid* block's write survives.
+    @pl.when(b < nb_valid)
+    def _():
+        packed = packed_ref[0, :]                          # [Pb] i32
+        xmin = packed & 0x7F
+        xmax = (packed >> 7) & 0x7F
+        ymin = (packed >> 14) & 0x7F
+        ymax = (packed >> 21) & 0x7F
 
-    mask = (
-        (ctx[None, :] >= xmin[:, None])
-        & (ctx[None, :] < xmax[:, None])
-        & (cty[None, :] >= ymin[:, None])
-        & (cty[None, :] < ymax[:, None])
-    )
-    mf = mask.astype(jnp.float32)                          # [Pb, Tc]
+        t0 = c * Tc
+        tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
+        ctx = tiles % tiles_x
+        cty = tiles // tiles_x
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
-    Lt = (row >= col).astype(jnp.float32)
-    within = jnp.dot(Lt, mf, preferred_element_type=jnp.float32)  # inclusive
+        mask = (
+            (ctx[None, :] >= xmin[:, None])
+            & (ctx[None, :] < xmax[:, None])
+            & (cty[None, :] >= ymin[:, None])
+            & (cty[None, :] < ymax[:, None])
+        )
+        mf = mask.astype(jnp.float32)                      # [Pb, Tc]
 
-    carry_c = carry_ref[c, :]                              # [Tc]
-    excl = carry_c[None, :] + within - mf                  # [Pb, Tc]
+        row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
+        # bf16 operands are exact here (0/1 inputs, f32 accumulation of
+        # counts <= Pb) and run the MXU ~6x faster than f32. DEFAULT
+        # precision overrides the package-wide "highest" default, which
+        # Mosaic rejects for bf16 operands ("Bad lhs type").
+        Lt = (row >= col).astype(jnp.bfloat16)
+        within = jnp.dot(
+            Lt, mf.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                                  # inclusive
 
-    # one-hot readout per rect slot (D small static)
-    for d in range(D):
-        td = tid_ref[0, :, d]                              # [Pb] i32, -1 = dead
-        hit = td[:, None] == tiles[None, :]
-        contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [Pb]
-        prev = jnp.where(c == 0, 0, rank_ref[0, :, d])
-        rank_ref[0, :, d] = prev + contrib.astype(jnp.int32)
+        carry_c = carry_ref[c, :]                          # [Tc]
+        excl = carry_c[None, :] + within - mf              # [Pb, Tc]
 
-    new_carry = carry_c + within[Pb - 1, :]
-    carry_ref[c, :] = new_carry
-    counts_ref[0, :] = new_carry.astype(jnp.int32)         # last b's write wins
+        # one-hot readout per rect slot (D small static)
+        for d in range(D):
+            td = tid_ref[0, :, d]                          # [Pb] i32, -1 = dead
+            hit = td[:, None] == tiles[None, :]
+            contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [Pb]
+            prev = jnp.where(c == 0, 0, rank_ref[0, :, d])
+            rank_ref[0, :, d] = prev + contrib.astype(jnp.int32)
+
+        new_carry = carry_c + within[Pb - 1, :]
+        carry_ref[c, :] = new_carry
+        counts_ref[0, :] = new_carry.astype(jnp.int32)     # last b's write wins
 
 
 @functools.lru_cache(maxsize=None)
@@ -91,22 +114,39 @@ def _make_rank_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         functools.partial(
             _rank_kernel, Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc
         ),
-        grid=(nb, nc),
-        in_specs=[
-            pl.BlockSpec((1, Pb), lambda b, c: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Pb, D), lambda b, c: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tc), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Tc), lambda b, c, *_: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((1, P, D), jnp.int32),
             jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)],
         interpret=interpret,
     )
+
+
+def _nb_valid(n_valid, P: int, Pb: int = 256) -> jnp.ndarray:
+    """Number of Pb-blocks of the depth-sorted order holding valid entries."""
+    if n_valid is None:
+        return jnp.full((1,), P // Pb, jnp.int32)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    return ((nv + Pb - 1) // Pb).reshape(1)
 
 
 def compute_ranks_pallas(
@@ -115,8 +155,13 @@ def compute_ranks_pallas(
     num_tiles: int,
     tiles_x: int,
     Tc: int | None = None,
+    n_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (rank [P, D] i32, counts [num_tiles] i32)."""
+    """-> (rank [P, D] i32, counts [num_tiles] i32).
+
+    ``n_valid``: traced count of valid (finite-depth-key) Gaussians; blocks
+    past it are skipped (their rank rows are garbage but masked downstream by
+    entry validity)."""
     P, D = tid.shape
     if Tc is None:
         # one chunk when the grid fits (no carry loop; measured ~+2% step)
@@ -126,12 +171,12 @@ def compute_ranks_pallas(
         P, D, num_tiles + pad_tiles, Tc, tiles_x,
         jax.default_backend() != "tpu",
     )
-    rank, counts = call(packed_sorted[None], tid[None])
+    rank, counts = call(_nb_valid(n_valid, P), packed_sorted[None], tid[None])
     return rank[0], counts[0, :num_tiles]
 
 
 def _rank_compact_body(
-    t0g, packed_ref, tid_ref, gin_ref, rank_ref, *rest,
+    nb_valid, t0g, packed_ref, tid_ref, gin_ref, rank_ref, *rest,
     Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
     n_valid: int, groups: tuple, s_groups: tuple,
 ):
@@ -156,6 +201,36 @@ def _rank_compact_body(
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
+    # counts blocks are indexed by c: zero each on its first visit so a
+    # fully-dead grid (nb_valid == 0) still returns zeros.
+    @pl.when(b == 0)
+    def _():
+        counts_ref[0, :] = jnp.zeros((Tc,), jnp.int32)
+
+    # Dead-block skip (see _rank_kernel): blocks past nb_valid hold only
+    # invalid entries; emit empty compact regions and skip all compute.
+    @pl.when((b >= nb_valid) & (c == nc - 1))
+    def _skip():
+        for gi in range(ng):
+            slot_refs[gi][0, :] = jnp.zeros((s_groups[gi],), jnp.float32)
+            gout_refs[gi][0, :] = jnp.zeros((s_groups[gi],), jnp.float32)
+        dropped_ref[0, 0, :] = jnp.zeros((128,), jnp.float32)
+
+    @pl.when(b < nb_valid)
+    def _main():
+        _rank_compact_main(
+            b, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs,
+            gout_refs, counts_ref, dropped_ref, carry_ref,
+            Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K,
+            n_valid=n_valid, groups=groups, s_groups=s_groups,
+        )
+
+
+def _rank_compact_main(
+    b, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs, gout_refs,
+    counts_ref, dropped_ref, carry_ref,
+    *, Pb, Tc, D, tiles_x, nb, nc, K, n_valid, groups, s_groups,
+):
     packed = packed_ref[0, :]                              # [Pb] i32
     xmin = packed & 0x7F
     xmax = (packed >> 7) & 0x7F
@@ -177,8 +252,14 @@ def _rank_compact_body(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
-    Lt = (row >= col).astype(jnp.float32)
-    within = jnp.dot(Lt, mf, preferred_element_type=jnp.float32)  # inclusive
+    # bf16 operands are exact (0/1 inputs, f32 accumulation) and ~6x faster;
+    # DEFAULT precision — Mosaic rejects fp32 contract precision on bf16.
+    Lt = (row >= col).astype(jnp.bfloat16)
+    within = jnp.dot(
+        Lt, mf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                                      # inclusive
 
     carry_c = carry_ref[c, :]                              # [Tc]
     excl = carry_c[None, :] + within - mf                  # [Pb, Tc]
@@ -208,8 +289,10 @@ def _rank_compact_body(
         # per-entry position within its group region: within-column
         # exclusive cumsum (strict-lower triangular matmul) + totals of
         # earlier columns in the same group
-        strict = (row > col).astype(jnp.float32)           # [Pb, Pb]
-        excl = jnp.dot(strict, vf, preferred_element_type=jnp.float32)
+        strict = (row > col).astype(jnp.bfloat16)          # [Pb, Pb]
+        excl = jnp.dot(strict, vf.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
         tot = jnp.sum(vf, axis=0)                          # [D]
         # group id per d = min(d, n_groups-1): singleton groups for d=0,1
         # then the pooled tail (matches _group_layout)
@@ -254,12 +337,11 @@ def _rank_compact_body(
         dropped_ref[0, 0, :] = jnp.full((128,), dropped, jnp.float32)
 
 
-def _rank_compact_kernel(packed_ref, tid_ref, gin_ref, *refs, **kw):
-    _rank_compact_body(0, packed_ref, tid_ref, gin_ref, *refs, **kw)
-
-
-def _rank_compact_kernel_t0(t0_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
-    _rank_compact_body(t0_ref[0], packed_ref, tid_ref, gin_ref, *refs, **kw)
+def _rank_compact_kernel(sc_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
+    # sc_ref: scalar-prefetch [nb_valid, t0]
+    _rank_compact_body(
+        sc_ref[0], sc_ref[1], packed_ref, tid_ref, gin_ref, *refs, **kw
+    )
 
 
 def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
@@ -282,7 +364,7 @@ def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
-                            with_offset: bool, grouped: bool, interpret: bool):
+                            grouped: bool, interpret: bool):
     Pb = 256
     assert P % Pb == 0 and num_tiles_padded % Tc == 0
     nb = P // Pb
@@ -323,27 +405,17 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
     kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K,
               n_valid=n_valid, groups=groups, s_groups=s_groups)
 
-    if with_offset:
-        # the shard's first tile id arrives as a scalar-prefetch operand
-        return pl.pallas_call(
-            functools.partial(_rank_compact_kernel_t0, **kw),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nb, nc),
-                in_specs=in_specs,
-                out_specs=out_specs,
-                scratch_shapes=scratch,
-            ),
-            out_shape=out_shape,
-            interpret=interpret,
-        )
+    # scalar-prefetch operand: [nb_valid, shard-first-tile-id]
     return pl.pallas_call(
         functools.partial(_rank_compact_kernel, **kw),
-        grid=(nb, nc),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nc),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
         out_shape=out_shape,
-        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -359,6 +431,7 @@ def compute_compact_entries_pallas(
     Tc: int | None = None,
     t0: jnp.ndarray | None = None,
     grouped: bool = True,
+    n_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32).
@@ -367,22 +440,20 @@ def compute_compact_entries_pallas(
     entries with rank < K (shard-local tile when ``t0`` is given);
     rank-overflow entries are excluded (they are counted via ``counts``).
     ``t0``: traced scalar first-tile id for tile-partitioned rasterization —
-    only the ``num_tiles`` tiles from ``t0`` are binned."""
+    only the ``num_tiles`` tiles from ``t0`` are binned.
+    ``n_valid``: traced count of valid depth-sorted Gaussians — blocks past
+    it are skipped (dead-block skip, exact)."""
     P, D = tid.shape
     if Tc is None:
         Tc = 256 if num_tiles <= 256 else 128
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
-        t0 is not None, grouped, jax.default_backend() != "tpu",
+        grouped, jax.default_backend() != "tpu",
     )
-    if t0 is not None:
-        outs = call(
-            jnp.asarray(t0, jnp.int32).reshape(1),
-            packed_sorted[None], tid[None], gid_sorted[None],
-        )
-    else:
-        outs = call(packed_sorted[None], tid[None], gid_sorted[None])
+    t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
+    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
+    outs = call(scalars, packed_sorted[None], tid[None], gid_sorted[None])
     ng = len(_group_layout(D, S, grouped)[0])
     slot_parts = outs[1:1 + ng]
     gid_parts = outs[1 + ng:1 + 2 * ng]

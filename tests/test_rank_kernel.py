@@ -206,3 +206,61 @@ def test_compact_kernel_tile_offset_matches_scan(rng):
                                       np.asarray(ref.tile_index), err_msg=f"t0={t0}")
         np.testing.assert_array_equal(np.minimum(np.asarray(counts), K),
                                       np.asarray(ref.tile_counts), err_msg=f"t0={t0}")
+
+
+def test_dead_block_skip_exact(rng):
+    """n_valid (dead-block skip) gives bit-identical live outputs to the
+    no-skip call when all entries past n_valid are invalid, including a
+    partially-valid boundary block."""
+    import jax
+
+    from sdpgs_tpu.ops.rasterize.rank_pallas import (
+        compute_compact_entries_pallas,
+        compute_ranks_pallas,
+    )
+
+    P, D, tiles_x = 1024, 4, 8
+    T = 64
+    n_valid = 300  # boundary block 1 is partially valid (blocks of 256)
+    xmin = rng.integers(0, 7, P).astype(np.int64)
+    ymin = rng.integers(0, 7, P).astype(np.int64)
+    xmax = np.minimum(xmin + rng.integers(1, 3, P), 8)
+    ymax = np.minimum(ymin + rng.integers(1, 3, P), 8)
+    valid = np.arange(P) < n_valid
+    xmax = np.where(valid, xmax, xmin)
+    ymax = np.where(valid, ymax, ymin)
+    packed = (xmin | (xmax << 7) | (ymin << 14) | (ymax << 21)).astype(np.int32)
+
+    tid = np.full((P, D), -1, np.int32)
+    for p in range(P):
+        cnt = 0
+        for ty in range(ymin[p], ymax[p]):
+            for tx in range(xmin[p], xmax[p]):
+                if cnt < D:
+                    tid[p, cnt] = ty * tiles_x + tx
+                cnt += 1
+    gid = np.arange(P, dtype=np.int32)
+
+    nv = jnp.int32(n_valid)
+    r0, c0 = compute_ranks_pallas(jnp.asarray(packed), jnp.asarray(tid), T, tiles_x)
+    r1, c1 = compute_ranks_pallas(jnp.asarray(packed), jnp.asarray(tid), T,
+                                  tiles_x, n_valid=nv)
+    m = tid >= 0
+    np.testing.assert_array_equal(np.asarray(r0)[m], np.asarray(r1)[m])
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    s0, g0, ct0, d0 = compute_compact_entries_pallas(
+        jnp.asarray(packed), jnp.asarray(tid), jnp.asarray(gid), T, tiles_x,
+        K=64, S=512)
+    s1, g1, ct1, d1 = compute_compact_entries_pallas(
+        jnp.asarray(packed), jnp.asarray(tid), jnp.asarray(gid), T, tiles_x,
+        K=64, S=512, n_valid=nv)
+    np.testing.assert_array_equal(np.asarray(ct0), np.asarray(ct1))
+    assert int(d0) == int(d1)
+    # same (slot, gid) sets per table position
+    tbl0 = np.full(T * 64, -1, np.int64)
+    tbl1 = np.full(T * 64, -1, np.int64)
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    tbl0[s0[s0 >= 0]] = np.asarray(g0)[s0 >= 0]
+    tbl1[s1[s1 >= 0]] = np.asarray(g1)[s1 >= 0]
+    np.testing.assert_array_equal(tbl0, tbl1)
