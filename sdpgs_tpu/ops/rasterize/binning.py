@@ -141,12 +141,13 @@ def bin_gaussians(
         cfg.use_rank_kernel and jax.default_backend() == "tpu" and P % 256 == 0
     )
     # Block compaction only pays off (and only stays drop-free) when entry
-    # counts per 256-Gaussian block stay well under S — true for the <=256
-    # tile grids of the few-shot protocol (504x378 @ tile=32). On larger
+    # counts per 256-Gaussian block stay well under S — true for the <=1024
+    # tile grids of the few-shot protocol (504x378 @ tile=16/32). On larger
     # grids splats span more tiles and S=512 measurably drops entries
-    # (14.6k at 1008x756) while larger S costs as much as no compaction,
-    # so fall through to the uncompacted scatter there.
-    if use_kernel and cfg.rank_block_slots > 0 and n_local <= 256:
+    # (14.6k at 1008x756 @ tile=16 = 3024 tiles) while larger S costs as
+    # much as no compaction, so fall through to the uncompacted scatter
+    # there; drops escalate through the Trainer's telemetry ladder anyway.
+    if use_kernel and cfg.rank_block_slots > 0 and n_local <= 1024:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
 
         slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(

@@ -77,8 +77,10 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
     # (binning reports per-tile live counts; sentinel slots past the count
     # are all-dead and would be pure waste).
     nch = jnp.minimum(pl.cdiv(counts_ref[0, pl.program_id(0)], G), nchunk)
-    # Lower-triangular (inclusive) ones: cumprod via matmul in log space.
-    Lt = _tri(G, strict=False)
+    # Strict-lower-triangular ones: *exclusive* cumprod via matmul in log
+    # space — the exclusive form gives t_excl directly (no [G, npix]
+    # division) and the inclusive value back as one multiply.
+    Ls = _tri(G, strict=True)
 
     def cond(carry):
         c, t, done = carry
@@ -98,17 +100,20 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         alpha, _, _, _, _ = _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg)
 
         logs = jnp.log1p(-alpha)                                   # [G, npix]
-        cum_in = jnp.exp(jnp.dot(Lt, logs, preferred_element_type=jnp.float32))
-        cum = t[None, :] * cum_in
+        t_excl = t[None, :] * jnp.exp(
+            jnp.dot(Ls, logs, preferred_element_type=jnp.float32)
+        )
+        cum = t_excl * (1.0 - alpha)
         active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
         alpha_eff = jnp.where(active, alpha, 0.0)
-        t_excl = t[None, :] * cum_in / (1.0 - alpha)
         w = alpha_eff * t_excl                                     # [G, npix]
 
         vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
         out_ref[0, :, :] += jnp.dot(vals, w, preferred_element_type=jnp.float32)
 
-        t_new = t * jnp.exp(jnp.sum(jnp.log1p(-alpha_eff), axis=0))
+        # log1p(-alpha_eff) == where(active, logs, 0): reuse logs instead of
+        # a second [G, npix] log1p pass (bit-identical).
+        t_new = t * jnp.exp(jnp.sum(jnp.where(active, logs, 0.0), axis=0))
         done_new = jnp.maximum(
             done, jnp.any(cum < cfg.transmittance_min, axis=0).astype(jnp.float32)
         )
@@ -136,8 +141,8 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
     g = gval_ref[0, :, :]                                          # [C, npix]
     s0 = tfin_ref[0, 0, :] * gtfin_ref[0, 0, :]                          # [npix]
     nproc = nproc_ref[0, pl.program_id(0)]
-    Lt = _tri(G, strict=False)
-    Ut = _tri(G, strict=True).T  # strict upper
+    Ls = _tri(G, strict=True)
+    Ut = Ls.T  # strict upper
 
     def body(k, s_carry):
         c = nproc - 1 - k
@@ -155,10 +160,11 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         )
 
         logs = jnp.log1p(-alpha)
-        cum_in = jnp.exp(jnp.dot(Lt, logs, preferred_element_type=jnp.float32))
-        cum = t[None, :] * cum_in
+        t_excl = t[None, :] * jnp.exp(
+            jnp.dot(Ls, logs, preferred_element_type=jnp.float32)
+        )
+        cum = t_excl * (1.0 - alpha)
         active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
-        t_excl = t[None, :] * cum_in / (1.0 - alpha)
         alpha_eff = jnp.where(active, alpha, 0.0)
         w = alpha_eff * t_excl
 

@@ -141,6 +141,14 @@ def _make_rank_call(P: int, D: int, num_tiles_padded: int, Tc: int,
     )
 
 
+def _default_tc(num_tiles: int) -> int:
+    """One tile chunk when the [Pb, Tc] mask stays modest (<=1024 tiles:
+    1MB VMEM, no carry loop); 128-tile chunks beyond."""
+    if num_tiles <= 1024:
+        return max(128, -(-num_tiles // 128) * 128)
+    return 128
+
+
 def _nb_valid(n_valid, P: int, Pb: int = 256) -> jnp.ndarray:
     """Number of Pb-blocks of the depth-sorted order holding valid entries."""
     if n_valid is None:
@@ -164,8 +172,7 @@ def compute_ranks_pallas(
     entry validity)."""
     P, D = tid.shape
     if Tc is None:
-        # one chunk when the grid fits (no carry loop; measured ~+2% step)
-        Tc = 256 if num_tiles <= 256 else 128
+        Tc = _default_tc(num_tiles)
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x,
@@ -445,7 +452,7 @@ def compute_compact_entries_pallas(
     it are skipped (dead-block skip, exact)."""
     P, D = tid.shape
     if Tc is None:
-        Tc = 256 if num_tiles <= 256 else 128
+        Tc = _default_tc(num_tiles)
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
