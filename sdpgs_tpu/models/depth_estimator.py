@@ -12,29 +12,62 @@ and keeps the reprojection term (which needs no network)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
 
+class MonoDepth(NamedTuple):
+    """Depth net as (pure apply, params pytree).
+
+    The params ride through the train step as a jit *argument*, never a
+    closure constant: a captured DPT-Hybrid would bake ~470MB of weights
+    into the HLO (the remote-compile relay rejects such payloads outright,
+    and it bloats compilation everywhere else)."""
+
+    apply: Callable[[Any, jnp.ndarray], jnp.ndarray]  # (params, [3,H,W]) -> [H,W]
+    params: Any
+
+
 def make_mono_depth_fn(
     weights_path: Optional[str] = None,
-) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    dtype: Optional[jnp.dtype] = None,
+) -> Optional[MonoDepth]:
+    """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
+    :class:`MonoDepth`. ``dtype=jnp.bfloat16`` runs the network in bf16
+    (f32 in/out). Measured on v5e at batch-1 384x512: ~34 ms/forward in BOTH
+    dtypes (the batch-1 net is layout/bandwidth-bound, not MXU-bound), so
+    bf16 is off by default; it should pay once pseudo views are batched.
+    Quality-wise the Pearson pseudo-depth losses are scale-invariant, so
+    bf16's ~0.5% relative depth noise is far below the loss-weight scale."""
     if not weights_path or not Path(weights_path).exists():
         return None
     import numpy as np
 
-    from sdpgs_tpu.models.dpt import DPTArch, DPTDepthModel
+    from sdpgs_tpu.models.dpt import DPTArch, _resize_bilinear, dpt_forward
 
-    params = dict(np.load(weights_path))
+    raw = dict(np.load(weights_path))
     arch = (
         DPTArch.hybrid()
-        if any(k.startswith("dpt.embeddings.backbone.") for k in params)
+        if any(k.startswith("dpt.embeddings.backbone.") for k in raw)
         else DPTArch.large()
     )
-    model = DPTDepthModel(params, arch)
+    params = {
+        k: jnp.asarray(v, dtype if (dtype and v.dtype == np.float32) else None)
+        for k, v in raw.items()
+    }
 
-    def estimate_depth(image: jnp.ndarray) -> jnp.ndarray:
-        return model(image)
+    def apply(params, image: jnp.ndarray) -> jnp.ndarray:
+        """[3, H, W] image in [0, 1] -> [H, W] inverse depth (differentiable;
+        reference utils/depth_utils.py:18-45: 384x512 in/out, bicubic there,
+        bilinear here)."""
+        H, W = image.shape[1:]
+        x = _resize_bilinear(image[None], 384, 512, align_corners=False)
+        x = (x - 0.5) / 0.5                                # DPT normalization
+        if dtype is not None:
+            x = x.astype(dtype)
+        depth = dpt_forward(params, x, arch).astype(jnp.float32)
+        out = _resize_bilinear(depth[:, None], H, W, align_corners=False)
+        return out[0, 0]
 
-    return estimate_depth
+    return MonoDepth(apply, params)

@@ -132,6 +132,10 @@ def _resize_bilinear(x, out_h, out_w, align_corners):
     wy = (ys - y0)[None, None, :, None]
     wx = (xs - x0)[None, None, None, :]
 
+    # Lerp weights in the input dtype so a bf16 network stays bf16 end to
+    # end (f32 weights would upcast and break dtype-matched convs).
+    wy = wy.astype(x.dtype)
+    wx = wx.astype(x.dtype)
     top = jnp.take(x, y0, axis=2)
     bot = jnp.take(x, y1, axis=2)
     rows = top * (1 - wy) + bot * wy

@@ -59,11 +59,25 @@ class Trainer:
                  mono_depth_fn=None):
         self.cfg = cfg
         self.scene = scene if scene is not None else Scene(cfg)
+        from sdpgs_tpu.models.depth_estimator import MonoDepth
+
         if mono_depth_fn is None and cfg.model.dpt_weights:
             from sdpgs_tpu.models.depth_estimator import make_mono_depth_fn
 
-            mono_depth_fn = make_mono_depth_fn(cfg.model.dpt_weights)
-        self.mono_depth_fn = mono_depth_fn
+            mono_depth_fn = make_mono_depth_fn(
+                cfg.model.dpt_weights,
+                dtype=jnp.bfloat16 if cfg.model.dpt_bf16 else None,
+            )
+        if isinstance(mono_depth_fn, MonoDepth):
+            self.mono_depth_fn = mono_depth_fn.apply
+            self.mono_params = mono_depth_fn.params
+        elif callable(mono_depth_fn):      # legacy (image)->depth callable
+            fn = mono_depth_fn
+            self.mono_depth_fn = lambda _params, img: fn(img)
+            self.mono_params = ()
+        else:
+            self.mono_depth_fn = None
+            self.mono_params = ()
         self.state = TrainState.create(self.scene.gaussians, seed=cfg.seed)
         self.bg = (
             jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
@@ -235,6 +249,7 @@ class Trainer:
                     t_train=self._t_train,
                     R_pseudo=cam.view[:3, :3],
                     t_pseudo=cam.view[:3, 3],
+                    mono_params=self.mono_params,
                 )
                 self.state, metrics = step(
                     self.state, batch, self.prototypes, self.bg,

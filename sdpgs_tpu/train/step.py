@@ -70,6 +70,9 @@ class PseudoInputs(NamedTuple):
     t_train: jnp.ndarray           # [V, 3]
     R_pseudo: jnp.ndarray          # [3, 3]
     t_pseudo: jnp.ndarray          # [3]
+    # Depth-net params pytree, passed as a jit ARGUMENT (a closure-captured
+    # DPT-Hybrid would bake ~470MB of constants into the HLO).
+    mono_params: object = ()
 
 
 def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
@@ -121,7 +124,9 @@ def _pseudo_losses(g, pseudo: PseudoInputs, protos, cfg: TrainConfig,
     total = jnp.float32(0.0)
 
     if mono_depth_fn is not None:
-        mono = mono_depth_fn(out.color.transpose(2, 0, 1))          # [H, W]
+        mono = mono_depth_fn(
+            pseudo.mono_params, out.color.transpose(2, 0, 1)
+        )                                                            # [H, W]
         pl = 1.0 - pearson_corrcoef(depth, -mono)
         total = total + loss_scale * opt.depth_pseudo_weight * jnp.nan_to_num(pl)
 
@@ -148,7 +153,7 @@ def make_train_step(
     cfg: TrainConfig,
     sh_degree: int,
     with_pseudo: bool = False,
-    mono_depth_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    mono_depth_fn: Optional[Callable] = None,  # (params, [3,H,W]) -> [H,W]
     tile_mesh=None,
 ) -> Callable:
     """Build the jitted train step for a given active SH degree (the degree

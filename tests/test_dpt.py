@@ -103,3 +103,24 @@ def test_dpt_hybrid_matches_torch_random_weights():
     out = np.asarray(dpt_forward(params, jnp.asarray(x), arch))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-3)
+
+
+def test_dpt_bf16_close_to_f32():
+    """bf16 inference (models.depth_estimator dpt_bf16 path) tracks the f32
+    output within ~2% relative of the output range on the tiny arch."""
+    from sdpgs_tpu.models.dpt import DPTArch as A
+    from sdpgs_tpu.models.dpt import dpt_forward
+
+    model = build_torch_tiny()
+    params = {k: jnp.asarray(v.detach().numpy())
+              for k, v in model.state_dict().items()}
+    params_bf = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+                 for k, v in params.items()}
+    arch = A.tiny()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 3, 96, 96)).astype(np.float32))
+    f32 = np.asarray(dpt_forward(params, x, arch))
+    bf = np.asarray(dpt_forward(params_bf, x.astype(jnp.bfloat16), arch)
+                    .astype(jnp.float32))
+    scale = max(float(np.abs(f32).max()), 1e-6)
+    assert np.abs(bf - f32).max() / scale < 0.02

@@ -101,3 +101,37 @@ def test_pseudo_step_finite(rng):
     assert np.isfinite(float(m.loss))
     assert np.all(np.isfinite(np.asarray(state.gaussians.xyz)))
     assert float(np.abs(np.asarray(state.gaussians.xyz) - before).sum()) > 0.0
+
+
+def test_pseudo_step_with_mono_params(rng):
+    """The depth net rides through the step as a jit ARGUMENT
+    (PseudoInputs.mono_params), not a closure constant."""
+    g, batch, cams, cfg = synthetic_batch(rng)
+    state = TrainState.create(g)
+    state = state.replace(step=jnp.int32(2500))
+
+    def mono_apply(params, image):         # fake depth net with real params
+        w = params["w"]
+        return jnp.mean(image, axis=0) * w + params["b"]
+
+    step = make_train_step(cfg, sh_degree=0, with_pseudo=True,
+                           mono_depth_fn=mono_apply)
+    protos = jnp.ones((4, 3))
+    bg = jnp.zeros(3)
+    pseudo_cam = Camera.create(R=np.eye(3), T=np.array([0.1, 0.05, 0.0]),
+                               fovx=0.9, fovy=0.7, width=48, height=32)
+    K = np.asarray(pseudo_cam.intrinsics_matrix())
+    R_train = np.stack([np.asarray(c.view)[:3, :3] for c in cams])
+    t_train = np.stack([np.asarray(c.view)[:3, 3] for c in cams])
+    pseudo = PseudoInputs(
+        camera=pseudo_cam,
+        train_depths=batch.depth_mono,
+        K=jnp.asarray(K),
+        R_train=jnp.asarray(R_train),
+        t_train=jnp.asarray(t_train),
+        R_pseudo=pseudo_cam.view[:3, :3],
+        t_pseudo=pseudo_cam.view[:3, 3],
+        mono_params={"w": jnp.float32(2.0), "b": jnp.float32(0.1)},
+    )
+    state, m = step(state, batch, protos, bg, jnp.float32(1.0), pseudo)
+    assert np.isfinite(float(m.loss))
