@@ -170,34 +170,70 @@ class Trainer:
         )
         return info
 
+    MAX_PER_TILE_CEILING = 8192
+
     def _maybe_grow_block_slots(self, overflow: int) -> None:
-        """Telemetry-driven capacity adaptation: the binning kernel's
-        per-block compaction budget (rank_block_slots) is sized for the
-        common light-load case (+10% step throughput); when the overflow
-        counter shows entries being dropped as splats grow, escalate to the
-        uncompacted path at a recompile boundary (like densify). Replaces
-        the reference's dynamic buffer resize (rasterize_points.cu:27-33)
-        in spirit: capacity follows the workload, losses are never silent."""
+        """Telemetry-driven capacity adaptation at recompile boundaries
+        (like densify). Replaces the reference's dynamic buffer resize
+        (rasterize_points.cu:27-33) in spirit: capacity follows the
+        workload, losses are never silent.
+
+        Ladder: grouped compaction regions (fastest, tightest capacity)
+        -> flat S (tolerates ~20x more growth) -> compaction off (larger S
+        costs as much as off; measured S=1024 ~= S=0 on v5e) -> double the
+        per-tile cap K (the remaining drop source) up to a ceiling."""
         import dataclasses
 
         r = self.cfg.raster
-        if (
-            jax.default_backend() != "tpu"
-            or not r.use_pallas
-            or r.rank_block_slots <= 0
-        ):
-            return
-        # escalation ladder: grouped regions (fastest, tightest capacity)
-        # -> flat S (tolerates ~20x more growth) -> off. Larger S costs as
-        # much as no compaction (measured: S=1024 ~= S=0 on v5e).
-        if r.rank_block_grouped:
+        kernel_on = (
+            jax.default_backend() == "tpu"
+            and r.use_pallas
+            and r.rank_block_slots > 0
+        )
+        if kernel_on and r.rank_block_grouped:
             new = dataclasses.replace(r, rank_block_grouped=False)
-            desc = "grouped -> flat"
-        else:
+            desc = "block compaction grouped -> flat"
+        elif kernel_on:
             new = dataclasses.replace(r, rank_block_slots=0)
-            desc = f"S={r.rank_block_slots} -> off"
+            desc = f"block compaction S={r.rank_block_slots} -> off"
+        elif r.max_per_tile < self.MAX_PER_TILE_CEILING:
+            new = dataclasses.replace(r, max_per_tile=r.max_per_tile * 2)
+            desc = f"per-tile cap K={r.max_per_tile} -> {new.max_per_tile}"
+        else:
+            print(
+                f"binning overflow={overflow}: K at ceiling "
+                f"{r.max_per_tile}; dropping excess entries",
+                flush=True,
+            )
+            return
+        print(f"binning overflow={overflow}: {desc} (recompile)", flush=True)
+        self.cfg.raster = new
+        self._steps.clear()
+
+    MAX_TILES_PER_GAUSSIAN_CEILING = 32
+
+    def _maybe_grow_tiles_per_gaussian(self, clipped: int) -> None:
+        """Per-Gaussian rect capacity D adaptation: clipped > 0 means some
+        splat covers more than D tiles and its tail tiles were dropped
+        (the reference enumerates full rects, duplicateWithKeys). Double D
+        at a recompile boundary, up to a ceiling."""
+        import dataclasses
+
+        r = self.cfg.raster
+        if r.max_tiles_per_gaussian >= self.MAX_TILES_PER_GAUSSIAN_CEILING:
+            print(
+                f"binning clipped={clipped}: D at ceiling "
+                f"{r.max_tiles_per_gaussian}; dropping rect tails",
+                flush=True,
+            )
+            return
+        new = dataclasses.replace(
+            r, max_tiles_per_gaussian=r.max_tiles_per_gaussian * 2
+        )
         print(
-            f"binning overflow={overflow}: block compaction {desc} (recompile)",
+            f"binning clipped={clipped}: per-Gaussian rect cap "
+            f"D={r.max_tiles_per_gaussian} -> {new.max_tiles_per_gaussian} "
+            "(recompile)",
             flush=True,
         )
         self.cfg.raster = new
@@ -268,12 +304,14 @@ class Trainer:
                 m = jax.device_get(metrics)
                 if int(m.overflow) > 0:
                     self._maybe_grow_block_slots(int(m.overflow))
+                if int(m.clipped) > 0:
+                    self._maybe_grow_tiles_per_gaussian(int(m.clipped))
                 rate = iteration / (time.time() - t_start)
                 print(
                     f"[{iteration}/{iterations}] loss={float(m.loss):.5f} "
                     f"l1={float(m.l1):.5f} psnr={float(m.psnr):.2f} "
                     f"alive={int(m.num_alive)} overflow={int(m.overflow)} "
-                    f"({rate:.2f} it/s)",
+                    f"clipped={int(m.clipped)} ({rate:.2f} it/s)",
                     flush=True,
                 )
                 history.append(

@@ -46,7 +46,8 @@ class StepMetrics(NamedTuple):
     loss: jnp.ndarray
     l1: jnp.ndarray
     psnr: jnp.ndarray
-    overflow: jnp.ndarray
+    overflow: jnp.ndarray   # entries dropped by the per-tile K cap / S slots
+    clipped: jnp.ndarray    # tile slots dropped by the per-Gaussian D cap
     num_alive: jnp.ndarray
 
 
@@ -222,6 +223,7 @@ def make_train_step(
                 )
             ),
             overflow=jnp.max(outs.overflow),
+            clipped=jnp.max(outs.clipped),
             num_alive=g_new.num_alive(),
         )
         new_state = state.replace(

@@ -131,8 +131,31 @@ def test_block_slot_escalation_policy():
         t._maybe_grow_block_slots(90)
     assert t.cfg.raster.rank_block_slots == 0       # flat -> off
     assert not t._steps
-    # third call is a no-op (already off)
+    # compaction exhausted: further overflow doubles the per-tile cap K
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(5)
+    assert t.cfg.raster.max_per_tile == 2048
+    assert not t._steps
+    # at the K ceiling the ladder is exhausted (no-op)
+    t.cfg.raster = dataclasses.replace(
+        t.cfg.raster, max_per_tile=Trainer.MAX_PER_TILE_CEILING
+    )
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(5)
+    assert t._steps  # unchanged
+
+    # D-cap (clipped) adaptation: doubles up to its own ceiling
+    t.cfg.raster = dataclasses.replace(t.cfg.raster, max_tiles_per_gaussian=8)
+    t._steps = {"dummy": object()}
+    t._maybe_grow_tiles_per_gaussian(12)
+    assert t.cfg.raster.max_tiles_per_gaussian == 16
+    assert not t._steps
+    t.cfg.raster = dataclasses.replace(
+        t.cfg.raster,
+        max_tiles_per_gaussian=Trainer.MAX_TILES_PER_GAUSSIAN_CEILING,
+    )
+    t._steps = {"dummy": object()}
+    t._maybe_grow_tiles_per_gaussian(3)
     assert t._steps  # unchanged
