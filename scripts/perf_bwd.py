@@ -119,8 +119,20 @@ def main():
         gs = jax.grad(loss, argnums=(0, 1, 2))(g.xyz + eps, scale, quat)
         return sum(jnp.sum(x) for x in gs)
 
+    # 2b. same, with bf16 triangular matmuls in the bwd kernel
+    cfg_bf16 = RasterizeConfig(chunk=64, bwd_bf16=True)
+
+    def comp_fwd_bwd_bf16(eps):
+        def loss(gth):
+            out = composite_tiles_pallas(
+                gth[..., 0:2], gth[..., 2:5], gth[..., 5], gth[..., 6:13],
+                px, py, cfg_bf16, counts=counts)
+            return jnp.sum(out.values) + jnp.sum(out.final_t)
+        return jnp.sum(jax.grad(loss)(gathered0 + eps))
+
     timed("composite fwd (fixed gather)", comp_fwd)
     timed("composite fwd+bwd (no scatter)", comp_fwd_bwd)
+    timed("composite fwd+bwd bf16 tri", comp_fwd_bwd_bf16)
     timed("payload scatter-add [T*K,13]", scatter_add)
     timed("gather fwd+bwd pair", gather_grad)
     timed("preprocess fwd+bwd", prep_fwd_bwd)

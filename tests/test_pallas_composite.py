@@ -63,6 +63,37 @@ def test_pallas_matches_xla_grads(rng):
         )
 
 
+def test_pallas_bf16_bwd_grads_close(rng):
+    """bwd_bf16 runs the backward kernel's two triangular matmuls with bf16
+    operands: the forward is untouched, gradients carry ~2^-9 relative
+    operand error — validate they stay within ~1% of the exact XLA grads."""
+    xy, conic, opa, vals, px, py = random_payload(rng, T=4, K=128)
+    cfg16 = dataclasses.replace(CFG, bwd_bf16=True)
+    tgt = np.asarray(composite_tiles_xla(xy, conic, opa, vals, px, py, CFG).values)
+
+    def loss_with(fn, cfg):
+        def f(xy, conic, opa, vals):
+            out = fn(xy, conic, opa, vals, px, py, cfg)
+            return jnp.mean((out.values - tgt) ** 2) + 0.1 * jnp.mean(out.final_t**2)
+        return f
+
+    # forward bit-identical to the f32-bwd kernel
+    out16 = composite_tiles_pallas(xy, conic, opa, vals, px, py, cfg16)
+    out32 = composite_tiles_pallas(xy, conic, opa, vals, px, py, CFG)
+    np.testing.assert_array_equal(np.asarray(out16.values), np.asarray(out32.values))
+
+    gx = jax.grad(loss_with(composite_tiles_xla, CFG), argnums=(0, 1, 2, 3))(
+        xy, conic, opa, vals
+    )
+    gp = jax.grad(loss_with(composite_tiles_pallas, cfg16), argnums=(0, 1, 2, 3))(
+        xy, conic, opa, vals
+    )
+    for a, b, name in zip(gx, gp, ["xy", "conic", "opa", "vals"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(a).max(), 1e-6)
+        assert np.abs(b - a).max() / denom < 2e-2, name
+
+
 def test_pallas_early_termination_consistency(rng):
     """Opaque near-field wall: early-exit path must still match XLA."""
     T, K = 2, 128
