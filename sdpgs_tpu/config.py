@@ -49,12 +49,14 @@ class RasterizeConfig:
     transmittance_min: float = 1e-4  # early-stop threshold (forward.cu:347)
     near: float = 0.2               # frustum near cull (auxiliary.h:154)
     low_pass: float = 0.3           # 2D cov dilation (forward.cu:110-111)
-    bwd_bf16: bool = False          # bf16 operands for the backward kernel's
+    bwd_bf16: bool = True           # bf16 operands for the backward kernel's
                                     # two triangular [G,G]x[G,npix] matmuls
-                                    # (t_excl recompute + suffix sum): ~2e-3
-                                    # relative gradient error, MXU at 2x+
-                                    # throughput. Forward stays f32 (color
-                                    # accuracy); flip per-experiment.
+                                    # (t_excl recompute + suffix sum).
+                                    # Measured (scripts/perf_bwd_bf16.py,
+                                    # v5e bench): 50.0 -> 53.7 it/s at
+                                    # <= 1e-4 relative gradient error on
+                                    # every param. Forward stays f32 (color
+                                    # accuracy).
     use_pallas: bool = True         # Pallas compositing kernel vs pure-XLA path
     use_rank_kernel: bool = True    # Pallas rank kernel vs the lax.scan path
                                     # (debug/golden-comparison escape hatch)

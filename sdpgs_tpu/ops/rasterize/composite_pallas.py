@@ -56,7 +56,7 @@ def _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg: RasterizeConfig):
     live = (power <= 0.0) & (alpha_raw >= cfg.alpha_min)
     alpha = jnp.where(live, alpha, 0.0)
     not_clamped = live & (alpha_raw < cfg.alpha_max)
-    return alpha, not_clamped, dx, dy, power
+    return alpha, not_clamped, dx, dy, alpha_raw
 
 
 def _tri(G: int, strict: bool, dtype=jnp.float32) -> jnp.ndarray:
@@ -169,7 +169,7 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         cb = con_ref[0, 1, pl.ds(g0, G)]
         cc = con_ref[0, 2, pl.ds(g0, G)]
         op = opa_ref[0, 0, pl.ds(g0, G)]
-        alpha, not_clamped, dx, dy, power = _alpha_and_masks(
+        alpha, not_clamped, dx, dy, alpha_raw = _alpha_and_masks(
             xs, ys, ca, cb, cc, op, px, py, cfg
         )
 
@@ -192,18 +192,28 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
             g, w.T, preferred_element_type=jnp.float32
         )
 
-        # alpha = min(0.99, op * exp(power)), masked
+        # alpha = min(0.99, op * exp(power)), masked.
+        # exp(power) is not recomputed: exp(power) = alpha_raw / op, and with
+        # the division hoisted out of the sum the [G, npix] transcendental
+        # becomes one [G] reciprocal (d_eff is zero wherever alpha_raw could
+        # misbehave, and live entries imply op >= alpha_min > 0).
         d_eff = jnp.where(not_clamped, d_alpha, 0.0)
-        d_op = jnp.sum(d_eff * jnp.exp(power), axis=1)             # [G]
+        d_op = jnp.sum(d_eff * alpha_raw, axis=1)                  # [G]
+        dopa_ref[0, 0, pl.ds(g0, G)] = jnp.where(op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0)
+        # Six reductions share the dx*d_pow / dy*d_pow products; constant
+        # scales are applied after the [G, npix] -> [G] sums.
         d_pow = d_eff * alpha                                      # [G, npix]
-        dopa_ref[0, 0, pl.ds(g0, G)] = d_op
-        dcon_ref[0, 0, pl.ds(g0, G)] = jnp.sum(-0.5 * dx * dx * d_pow, axis=1)
-        dcon_ref[0, 1, pl.ds(g0, G)] = jnp.sum(-dx * dy * d_pow, axis=1)
-        dcon_ref[0, 2, pl.ds(g0, G)] = jnp.sum(-0.5 * dy * dy * d_pow, axis=1)
-        d_dx = (-ca[:, None] * dx - cb[:, None] * dy) * d_pow
-        d_dy = (-cc[:, None] * dy - cb[:, None] * dx) * d_pow
-        dxy_ref[0, 0, pl.ds(g0, G)] = jnp.sum(d_dx, axis=1)
-        dxy_ref[0, 1, pl.ds(g0, G)] = jnp.sum(d_dy, axis=1)
+        dxp = dx * d_pow
+        dyp = dy * d_pow
+        dcon_ref[0, 0, pl.ds(g0, G)] = -0.5 * jnp.sum(dx * dxp, axis=1)
+        dcon_ref[0, 1, pl.ds(g0, G)] = -jnp.sum(dy * dxp, axis=1)
+        dcon_ref[0, 2, pl.ds(g0, G)] = -0.5 * jnp.sum(dy * dyp, axis=1)
+        dxy_ref[0, 0, pl.ds(g0, G)] = -(
+            ca * jnp.sum(dxp, axis=1) + cb * jnp.sum(dyp, axis=1)
+        )
+        dxy_ref[0, 1, pl.ds(g0, G)] = -(
+            cc * jnp.sum(dyp, axis=1) + cb * jnp.sum(dxp, axis=1)
+        )
 
         return s_carry + jnp.sum(wvg, axis=0)
 
