@@ -1,17 +1,34 @@
 """Benchmark: full train-step throughput on an LLFF-3-view-shaped synthetic
 workload (504x378 @ downsample 8, the reference's benchmark protocol,
-run_llff_mvs.sh). Prints one JSON line.
+run_llff_mvs.sh). Prints ONE JSON line.
 
-``vs_baseline``: the reference repo ships no measured numbers
-(BASELINE.md — timing events are dead code); the comparison constant below
-is the commonly observed ~15 train iters/s of the single-GPU FSGS/SDP-GS
-lineage at this protocol (10k iterations in ~11 min). Replace with a
-measured figure when reference hardware is available.
+Two flavors, matching the reference's 10k-iteration protocol
+(run_llff_mvs.sh:11-16):
+- ``plain``: the combined-loss train step (photometric + feature + mono-depth
+  Pearson + Adam), iterations outside the pseudo window — 6,500 of 10,000.
+- ``pseudo``: the same step with the pseudo-view branch in the loss
+  (reference train.py:138-188): an extra render from a pseudo camera, a
+  full DPT-Hybrid forward on the rendered image, Pearson depth losses
+  differentiated THROUGH the depth net, segment-wise Pearson, and multi-view
+  reprojection — iterations 2000..5500 (sample_pseudo_interval=1), 3,500 of
+  10,000. The DPT runs with architecture-faithful random weights
+  (models/dpt.random_params — value-independent compute cost).
+
+The headline ``value`` is the protocol-weighted mean
+(10,000 / (6500/plain + 3500/pseudo)); both flavors ride along as extra
+keys.
+
+``vs_baseline`` is ESTIMATED: the reference repo ships no measured numbers
+(BASELINE.md — its timing events are dead code); the constant below is the
+commonly observed ~15 train iters/s of the single-GPU FSGS/SDP-GS lineage at
+this protocol (10k iterations in ~11 min). Replace with a measured figure
+when reference hardware is available.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,20 +38,20 @@ REFERENCE_ITERS_PER_S = 15.0
 WIDTH, HEIGHT = 504, 378          # LLFF at resolution /8 (run_llff_mvs.sh)
 CAPACITY = 1 << 17                # 131k Gaussian slots
 ALIVE = 60_000                    # typical mid-training population
-VIEWS = 1                         # reference protocol: 1 view/iter
+VIEWS = int(os.environ.get("BENCH_VIEWS", "1"))  # reference protocol: 1 view/iter
+PLAIN_ITERS = 6_500               # protocol mix (10k total, pseudo window
+PSEUDO_ITERS = 3_500              # 2000..5500 @ interval 1)
+DPT_ARCH = None                   # None = full DPT-Hybrid; tests inject tiny
 
 
-def main():
+def _make_inputs(rng):
     import jax
     import jax.numpy as jnp
 
-    from sdpgs_tpu.config import RasterizeConfig, TrainConfig
     from sdpgs_tpu.core.camera import Camera
     from sdpgs_tpu.core.gaussians import create_from_points
-    from sdpgs_tpu.train.state import TrainState
-    from sdpgs_tpu.train.step import ViewBatch, make_train_step
+    from sdpgs_tpu.train.step import ViewBatch
 
-    rng = np.random.default_rng(0)
     pts = rng.normal(size=(ALIVE, 3)).astype(np.float32) * np.array(
         [1.2, 0.9, 0.6], np.float32
     ) + np.array([0, 0, 4.0], np.float32)
@@ -57,35 +74,103 @@ def main():
         feature=jnp.asarray(rng.uniform(size=(VIEWS, 3, HEIGHT, WIDTH)).astype(np.float32)),
         seg_map=jnp.zeros((VIEWS, HEIGHT, WIDTH), np.int32),
     )
+    return g, cams, batch
+
+
+def _make_pseudo(rng, cams):
+    """PseudoInputs with a DPT-Hybrid-shaped random-weight depth net (the
+    reference's exact MiDaS role at 384x512, utils/depth_utils.py:18-45)."""
+    import jax.numpy as jnp
+
+    from sdpgs_tpu.core.camera import Camera
+    from sdpgs_tpu.models.depth_estimator import mono_depth_from_params
+    from sdpgs_tpu.models.dpt import DPTArch, random_params
+    from sdpgs_tpu.train.step import PseudoInputs
+
+    arch = DPT_ARCH if DPT_ARCH is not None else DPTArch.hybrid()
+    mono = mono_depth_from_params(random_params(arch, seed=0), arch=arch)
+    pcam = Camera.create(
+        R=np.eye(3), T=np.array([0.05, 0.02, 0.0]), fovx=0.9, fovy=0.7,
+        width=WIDTH, height=HEIGHT,
+    )
+    train_depths = jnp.asarray(
+        rng.uniform(1, 8, size=(len(cams), HEIGHT, WIDTH)).astype(np.float32)
+    )
+    pseudo = PseudoInputs(
+        camera=pcam,
+        train_depths=train_depths,
+        K=cams[0].intrinsics_matrix(),
+        R_train=jnp.stack([c.view[:3, :3] for c in cams]),
+        t_train=jnp.stack([c.view[:3, 3] for c in cams]),
+        R_pseudo=pcam.view[:3, :3],
+        t_pseudo=pcam.view[:3, 3],
+        mono_params=mono.params,
+    )
+    return pseudo, mono
+
+
+def _time_steps(step, state, args, iters):
+    import jax
+
+    state, metrics = step(state, *args)               # warmup/compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, *args)
+    jax.block_until_ready(metrics)
+    return iters / (time.perf_counter() - t0), state
+
+
+def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
+    import jax.numpy as jnp
+
+    from sdpgs_tpu.config import RasterizeConfig, TrainConfig
+    from sdpgs_tpu.train.state import TrainState
+    from sdpgs_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(0)
+    g, cams, batch = _make_inputs(rng)
 
     cfg = TrainConfig()
     cfg.raster = RasterizeConfig(chunk=64)
 
-    state = TrainState.create(g)
-    step = make_train_step(cfg, sh_degree=3)
     protos = jnp.ones((8, 3))
     bg = jnp.zeros(3)
     lr_scale = jnp.float32(1.0)
 
-    # warmup/compile
-    state, metrics = step(state, batch, protos, bg, lr_scale)
-    jax.block_until_ready(metrics)
+    # --- plain flavor ----------------------------------------------------
+    state = TrainState.create(g)
+    step = make_train_step(cfg, sh_degree=3)
+    plain_ips, _ = _time_steps(
+        step, state, (batch, protos, bg, lr_scale), iters=plain_timed_iters
+    )
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, protos, bg, lr_scale)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    # --- pseudo-window flavor (DPT in the loop) --------------------------
+    pseudo, mono = _make_pseudo(rng, cams)
+    g2, _, batch2 = _make_inputs(np.random.default_rng(0))
+    state2 = TrainState.create(g2)
+    pstep = make_train_step(
+        cfg, sh_degree=3, with_pseudo=True, mono_depth_fn=mono.apply
+    )
+    pseudo_ips, _ = _time_steps(
+        pstep, state2, (batch2, protos, bg, lr_scale, pseudo),
+        iters=pseudo_timed_iters,
+    )
 
-    ips = iters / dt
+    weighted = (PLAIN_ITERS + PSEUDO_ITERS) / (
+        PLAIN_ITERS / plain_ips + PSEUDO_ITERS / pseudo_ips
+    )
     print(
         json.dumps(
             {
-                "metric": "train_iters_per_s",
-                "value": round(ips, 3),
+                "metric": "train_iters_per_s_protocol",
+                "value": round(weighted, 3),
                 "unit": "it/s",
-                "vs_baseline": round(ips / REFERENCE_ITERS_PER_S, 3),
+                "vs_baseline": round(weighted / REFERENCE_ITERS_PER_S, 3),
+                "baseline_note": "estimated (~15 it/s single-GPU lineage; no measured in-repo figure)",
+                "plain_iters_per_s": round(plain_ips, 3),
+                "pseudo_iters_per_s": round(pseudo_ips, 3),
+                "views_per_batch": VIEWS,
             }
         )
     )

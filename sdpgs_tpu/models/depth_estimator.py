@@ -29,31 +29,27 @@ class MonoDepth(NamedTuple):
     params: Any
 
 
-def make_mono_depth_fn(
-    weights_path: Optional[str] = None,
+def mono_depth_from_params(
+    raw: dict,
+    arch=None,
     dtype: Optional[jnp.dtype] = None,
-) -> Optional[MonoDepth]:
-    """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
-    :class:`MonoDepth`. ``dtype=jnp.bfloat16`` runs the network in bf16
-    (f32 in/out). Measured on v5e at batch-1 384x512: ~34 ms/forward in BOTH
-    dtypes (the batch-1 net is layout/bandwidth-bound, not MXU-bound), so
-    bf16 is off by default; it should pay once pseudo views are batched.
-    Quality-wise the Pearson pseudo-depth losses are scale-invariant, so
-    bf16's ~0.5% relative depth noise is far below the loss-weight scale."""
-    if not weights_path or not Path(weights_path).exists():
-        return None
+) -> MonoDepth:
+    """Wrap an in-memory DPT param dict (state-dict names) as a
+    :class:`MonoDepth`. Used by :func:`make_mono_depth_fn` (npz from disk),
+    the pseudo-window bench flavor, and the synthetic acceptance rig
+    (``dpt.random_params``)."""
     import numpy as np
 
     from sdpgs_tpu.models.dpt import DPTArch, _resize_bilinear, dpt_forward
 
-    raw = dict(np.load(weights_path))
-    arch = (
-        DPTArch.hybrid()
-        if any(k.startswith("dpt.embeddings.backbone.") for k in raw)
-        else DPTArch.large()
-    )
+    if arch is None:
+        arch = (
+            DPTArch.hybrid()
+            if any(k.startswith("dpt.embeddings.backbone.") for k in raw)
+            else DPTArch.large()
+        )
     params = {
-        k: jnp.asarray(v, dtype if (dtype and v.dtype == np.float32) else None)
+        k: jnp.asarray(v, dtype if (dtype and np.asarray(v).dtype == np.float32) else None)
         for k, v in raw.items()
     }
 
@@ -71,3 +67,21 @@ def make_mono_depth_fn(
         return out[0, 0]
 
     return MonoDepth(apply, params)
+
+
+def make_mono_depth_fn(
+    weights_path: Optional[str] = None,
+    dtype: Optional[jnp.dtype] = None,
+) -> Optional[MonoDepth]:
+    """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
+    :class:`MonoDepth`. ``dtype=jnp.bfloat16`` runs the network in bf16
+    (f32 in/out). Measured on v5e at batch-1 384x512: ~34 ms/forward in BOTH
+    dtypes (the batch-1 net is layout/bandwidth-bound, not MXU-bound), so
+    bf16 is off by default; it should pay once pseudo views are batched.
+    Quality-wise the Pearson pseudo-depth losses are scale-invariant, so
+    bf16's ~0.5% relative depth noise is far below the loss-weight scale."""
+    if not weights_path or not Path(weights_path).exists():
+        return None
+    import numpy as np
+
+    return mono_depth_from_params(dict(np.load(weights_path)), dtype=dtype)

@@ -287,6 +287,119 @@ def dpt_forward(p: Dict[str, jnp.ndarray], pixel_values: jnp.ndarray,
     return h[:, 0]
 
 
+def random_params(arch: DPTArch = DPTArch.hybrid(), seed: int = 0,
+                  image_size: int = 384) -> Dict[str, np.ndarray]:
+    """Random weights with the exact shapes/names of the torch
+    ``DPTForDepthEstimation`` state dict (the subset ``dpt_forward``
+    consumes). Torch-free: lets benchmarks and the synthetic acceptance rig
+    run a full-size DPT-Hybrid (the reference's MiDaS role,
+    utils/depth_utils.py:4) without pretrained weights or a torch install.
+
+    Init follows transformers' conventions in spirit (normal(0.02) weights,
+    zero biases, unit norms) — magnitudes only matter for finiteness; the
+    compute cost is value-independent. Validated shape-for-shape against the
+    torch state dict in tests/test_dpt.py."""
+    from sdpgs_tpu.models.bit import _make_div
+
+    rng = np.random.default_rng(seed)
+    p: Dict[str, np.ndarray] = {}
+
+    def w(name, *shape):
+        p[name] = rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+
+    def zeros(name, *shape):
+        p[name] = np.zeros(shape, np.float32)
+
+    def ones(name, *shape):
+        p[name] = np.ones(shape, np.float32)
+
+    def linear(name, out_f, in_f):
+        w(f"{name}.weight", out_f, in_f)
+        zeros(f"{name}.bias", out_f)
+
+    def conv(name, out_c, in_c, k, bias=True):
+        w(f"{name}.weight", out_c, in_c, k, k)
+        if bias:
+            zeros(f"{name}.bias", out_c)
+
+    def norm(name, c):
+        ones(f"{name}.weight", c)
+        zeros(f"{name}.bias", c)
+
+    C, I = arch.hidden_size, arch.intermediate_size
+
+    # --- embeddings -------------------------------------------------------
+    if arch.is_hybrid:
+        bit = arch.bit
+        pre = "dpt.embeddings.backbone.bit"
+        emb = _make_div(bit.embedding_size * bit.width_factor)
+        conv(f"{pre}.embedder.convolution", emb, 3, 7, bias=False)
+        norm(f"{pre}.embedder.norm", emb)
+        in_ch = emb
+        for si, (depth, hidden) in enumerate(zip(bit.depths, bit.hidden_sizes)):
+            out_ch = _make_div(hidden * bit.width_factor)
+            mid_ch = _make_div(out_ch / 4)
+            for li in range(depth):
+                name = f"{pre}.encoder.stages.{si}.layers.{li}"
+                if li == 0:
+                    conv(f"{name}.downsample.conv", out_ch, in_ch, 1, bias=False)
+                    norm(f"{name}.downsample.norm", out_ch)
+                conv(f"{name}.conv1", mid_ch, in_ch, 1, bias=False)
+                norm(f"{name}.norm1", mid_ch)
+                conv(f"{name}.conv2", mid_ch, mid_ch, 3, bias=False)
+                norm(f"{name}.norm2", mid_ch)
+                conv(f"{name}.conv3", out_ch, mid_ch, 1, bias=False)
+                norm(f"{name}.norm3", out_ch)
+                in_ch = out_ch
+        conv("dpt.embeddings.projection", C, in_ch, 1)
+    else:
+        conv("dpt.embeddings.patch_embeddings.projection", C, 3,
+             arch.patch_size)
+    n_tok = (image_size // arch.patch_size) ** 2
+    w("dpt.embeddings.position_embeddings", 1, n_tok + 1, C)
+    zeros("dpt.embeddings.cls_token", 1, 1, C)
+
+    # --- ViT encoder ------------------------------------------------------
+    for i in range(arch.num_layers):
+        pre = f"dpt.encoder.layer.{i}"
+        norm(f"{pre}.layernorm_before", C)
+        for nm in ("query", "key", "value"):
+            linear(f"{pre}.attention.attention.{nm}", C, C)
+        linear(f"{pre}.attention.output.dense", C, C)
+        norm(f"{pre}.layernorm_after", C)
+        linear(f"{pre}.intermediate.dense", I, C)
+        linear(f"{pre}.output.dense", C, I)
+
+    # --- neck -------------------------------------------------------------
+    F = arch.fusion_hidden_size
+    n_cnn = 2 if arch.is_hybrid else 0
+    for i in range(4):
+        nh = arch.neck_hidden_sizes[i]
+        if i >= n_cnn:
+            linear(f"neck.reassemble_stage.readout_projects.{i}.0", C, 2 * C)
+            conv(f"neck.reassemble_stage.layers.{i}.projection", nh, C, 1)
+            factor = arch.reassemble_factors[i]
+            if factor > 1:
+                k = int(factor)  # ConvTranspose2d: torch layout [in, out, k, k]
+                w(f"neck.reassemble_stage.layers.{i}.resize.weight", nh, nh, k, k)
+                zeros(f"neck.reassemble_stage.layers.{i}.resize.bias", nh)
+            elif factor < 1:
+                conv(f"neck.reassemble_stage.layers.{i}.resize", nh, nh, 3)
+        conv(f"neck.convs.{i}", F, nh, 3, bias=False)
+    for li in range(4):
+        name = f"neck.fusion_stage.layers.{li}"
+        for res in ("residual_layer1", "residual_layer2"):
+            conv(f"{name}.{res}.convolution1", F, F, 3)
+            conv(f"{name}.{res}.convolution2", F, F, 3)
+        conv(f"{name}.projection", F, F, 1)
+
+    # --- head -------------------------------------------------------------
+    conv("head.head.0", F // 2, F, 3)
+    conv("head.head.2", 32, F // 2, 3)
+    conv("head.head.4", 1, 32, 1)
+    return p
+
+
 class DPTDepthModel:
     """Loaded DPT with an ``estimate_depth``-style interface
     (reference utils/depth_utils.py:18-45: resize to 384x512, normalize,

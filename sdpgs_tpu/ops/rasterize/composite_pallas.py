@@ -143,7 +143,8 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
 def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
                 tres_ref, dres_ref, nproc_ref, tfin_ref, gval_ref, gtfin_ref,
                 dxy_ref, dcon_ref, dopa_ref, dval_ref,
-                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int):
+                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int,
+                bwd_bf16: bool):
     px = px_ref[0, 0, :]
     py = py_ref[0, 0, :]
     dxy_ref[...] = jnp.zeros_like(dxy_ref)
@@ -154,7 +155,7 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
     g = gval_ref[0, :, :]                                          # [C, npix]
     s0 = tfin_ref[0, 0, :] * gtfin_ref[0, 0, :]                          # [npix]
     nproc = nproc_ref[0, pl.program_id(0)]
-    tri_dtype = jnp.bfloat16 if cfg.bwd_bf16 else jnp.float32
+    tri_dtype = jnp.bfloat16 if bwd_bf16 else jnp.float32
     Ls = _tri(G, strict=True, dtype=tri_dtype)
     Ut = Ls.T  # strict upper
 
@@ -174,7 +175,7 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         )
 
         logs = jnp.log1p(-alpha)
-        t_excl = t[None, :] * jnp.exp(_tri_dot(Ls, logs, cfg.bwd_bf16))
+        t_excl = t[None, :] * jnp.exp(_tri_dot(Ls, logs, bwd_bf16))
         cum = t_excl * (1.0 - alpha)
         active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
         alpha_eff = jnp.where(active, alpha, 0.0)
@@ -183,7 +184,7 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
         vg = jnp.dot(vals.T, g, preferred_element_type=jnp.float32)  # [G, npix]
         wvg = w * vg
-        suffix = _tri_dot(Ut, wvg, cfg.bwd_bf16)
+        suffix = _tri_dot(Ut, wvg, bwd_bf16)
         S = suffix + s_carry[None, :]
         d_alpha = jnp.where(active, t_excl * vg - S / (1.0 - alpha), 0.0)
 
@@ -195,10 +196,11 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         # alpha = min(0.99, op * exp(power)), masked.
         # exp(power) is not recomputed: exp(power) = alpha_raw / op, and with
         # the division hoisted out of the sum the [G, npix] transcendental
-        # becomes one [G] reciprocal (d_eff is zero wherever alpha_raw could
-        # misbehave, and live entries imply op >= alpha_min > 0).
+        # becomes one [G] reciprocal. alpha_raw can overflow to inf on dead
+        # sentinel entries (power >> 0), so the product is masked *inside*
+        # the where — d_eff * inf would be 0 * inf = NaN otherwise.
         d_eff = jnp.where(not_clamped, d_alpha, 0.0)
-        d_op = jnp.sum(d_eff * alpha_raw, axis=1)                  # [G]
+        d_op = jnp.sum(jnp.where(not_clamped, d_alpha * alpha_raw, 0.0), axis=1)  # [G]
         dopa_ref[0, 0, pl.ds(g0, G)] = jnp.where(op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0)
         # Six reductions share the dx*d_pow / dy*d_pow products; constant
         # scales are applied after the [G, npix] -> [G] sums.
@@ -268,8 +270,14 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
         interpret=_interpret(),
     )
 
+    # bf16 triangular matmuls are a TPU-only optimization: the CPU/interpret
+    # backend cannot execute batched bf16 dots ("Unsupported element type for
+    # DotThunk"), and the CUDA kernel contract being matched is fp32 anyway
+    # (backward.cu:399-557) — off-TPU the flag is a no-op and grads are exact.
+    bwd_bf16 = cfg.bwd_bf16 and not _interpret()
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C),
+        functools.partial(_bwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C,
+                          bwd_bf16=bwd_bf16),
         grid=(T,),
         in_specs=[
             tile_block(2, K),

@@ -16,7 +16,7 @@ from sdpgs_tpu.ops.rasterize.composite_xla import composite_tiles_xla, tile_pixe
 
 
 CFG = RasterizeConfig(tile=16, max_per_tile=128, max_tiles_per_gaussian=16, chunk=32,
-                      chunk_pallas=128, use_pallas=False)
+                      chunk_pallas=128, use_pallas=False, bwd_bf16=False)
 
 
 def random_payload(rng, T=6, K=128, C=7, npix=256):
@@ -63,10 +63,14 @@ def test_pallas_matches_xla_grads(rng):
         )
 
 
-def test_pallas_bf16_bwd_grads_close(rng):
-    """bwd_bf16 runs the backward kernel's two triangular matmuls with bf16
-    operands: the forward is untouched, gradients carry ~2^-9 relative
-    operand error — validate they stay within ~1% of the exact XLA grads."""
+def test_pallas_bf16_bwd_is_noop_off_tpu(rng):
+    """bwd_bf16=True lowers the backward kernel's two triangular matmuls to
+    bf16 operands ON TPU ONLY; off-TPU (CPU/interpret, which is where this
+    suite runs) the flag must be a guarded no-op — the CPU backend cannot
+    execute batched bf16 dots, and the fp32 contract (backward.cu:399-557)
+    must hold. Assert cfg16 grads are BIT-IDENTICAL to f32 grads here, which
+    is exactly the guard working; the ~1% bf16-vs-exact tolerance is a
+    TPU-side check (scripts/perf_bwd_bf16.py)."""
     xy, conic, opa, vals, px, py = random_payload(rng, T=4, K=128)
     cfg16 = dataclasses.replace(CFG, bwd_bf16=True)
     tgt = np.asarray(composite_tiles_xla(xy, conic, opa, vals, px, py, CFG).values)
@@ -85,13 +89,37 @@ def test_pallas_bf16_bwd_grads_close(rng):
     gx = jax.grad(loss_with(composite_tiles_xla, CFG), argnums=(0, 1, 2, 3))(
         xy, conic, opa, vals
     )
+    g32 = jax.grad(loss_with(composite_tiles_pallas, CFG), argnums=(0, 1, 2, 3))(
+        xy, conic, opa, vals
+    )
     gp = jax.grad(loss_with(composite_tiles_pallas, cfg16), argnums=(0, 1, 2, 3))(
         xy, conic, opa, vals
     )
+    for a, b, name in zip(g32, gp, ["xy", "conic", "opa", "vals"]):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a), err_msg=name)
     for a, b, name in zip(gx, gp, ["xy", "conic", "opa", "vals"]):
         a, b = np.asarray(a), np.asarray(b)
         denom = np.maximum(np.abs(a).max(), 1e-6)
         assert np.abs(b - a).max() / denom < 2e-2, name
+
+
+def test_pallas_bwd_inf_alpha_raw_no_nan(rng):
+    """Dead sentinel entries with garbage conics can push power >> 0 so
+    exp(power) overflows to inf; the opacity-grad reduction must mask the
+    product inside the where (0 * inf = NaN otherwise)."""
+    xy, conic, opa, vals, px, py = random_payload(rng, T=2, K=128)
+    # poison a few slots: huge negative-definite "conic" => power = -0.5*q > 0
+    conic = conic.at[:, -8:, 0].set(-500.0)
+    conic = conic.at[:, -8:, 2].set(-500.0)
+    conic = conic.at[:, -8:, 1].set(0.0)
+
+    def f(xy, conic, opa, vals):
+        out = composite_tiles_pallas(xy, conic, opa, vals, px, py, CFG)
+        return jnp.sum(out.values ** 2) + jnp.sum(out.final_t ** 2)
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3))(xy, conic, opa, vals)
+    for arr, name in zip(g, ["xy", "conic", "opa", "vals"]):
+        assert np.all(np.isfinite(np.asarray(arr))), name
 
 
 def test_pallas_early_termination_consistency(rng):
