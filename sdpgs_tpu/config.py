@@ -60,6 +60,12 @@ class RasterizeConfig:
     use_pallas: bool = True         # Pallas compositing kernel vs pure-XLA path
     use_rank_kernel: bool = True    # Pallas rank kernel vs the lax.scan path
                                     # (debug/golden-comparison escape hatch)
+    interpret_kernels: bool = False  # make the rank-kernel path eligible
+                                    # off-TPU (Pallas interpret mode) so CPU
+                                    # tests and the multichip dryrun exercise
+                                    # the REAL kernel code under shard_map.
+                                    # Off by default: interpret mode is slow
+                                    # and the scan path is the CPU golden.
 
 
 @dataclass

@@ -138,7 +138,9 @@ def bin_gaussians(
 
     # --- 3. within-tile rank ------------------------------------------------
     use_kernel = (
-        cfg.use_rank_kernel and jax.default_backend() == "tpu" and P % 256 == 0
+        cfg.use_rank_kernel
+        and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
+        and P % 256 == 0
     )
     # Block compaction only pays off (and only stays drop-free) when entry
     # counts per 256-Gaussian block stay well under S — true for the <=1024
@@ -172,11 +174,12 @@ def bin_gaussians(
             clipped=clipped,
             num_entries=num_entries,
         )
-    if use_kernel and tile_range is None:
+    if use_kernel:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 
         rank, counts_k = compute_ranks_pallas(
-            packed_s, tid, num_tiles, tiles_x, n_valid=n_valid
+            packed_s, tid, n_local, tiles_x, n_valid=n_valid,
+            t0=None if tile_range is None else t0,
         )
         overflow = jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32)
         tile_counts = jnp.minimum(counts_k, K)

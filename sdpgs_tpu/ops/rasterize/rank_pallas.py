@@ -30,11 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rank_kernel(nbv_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
+def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
                  *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int):
+    # sc_ref: scalar-prefetch [nb_valid, shard-first-tile-id]
     b = pl.program_id(0)
     c = pl.program_id(1)
-    nb_valid = nbv_ref[0]
+    nb_valid = sc_ref[0]
+    t0g = sc_ref[1]
 
     @pl.when((b == 0) & (c == 0))
     def _():
@@ -60,7 +62,7 @@ def _rank_kernel(nbv_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
         ymin = (packed >> 14) & 0x7F
         ymax = (packed >> 21) & 0x7F
 
-        t0 = c * Tc
+        t0 = t0g + c * Tc
         tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
         ctx = tiles % tiles_x
         cty = tiles // tiles_x
@@ -164,12 +166,19 @@ def compute_ranks_pallas(
     tiles_x: int,
     Tc: int | None = None,
     n_valid: jnp.ndarray | None = None,
+    t0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rank [P, D] i32, counts [num_tiles] i32).
 
     ``n_valid``: traced count of valid (finite-depth-key) Gaussians; blocks
     past it are skipped (their rank rows are garbage but masked downstream by
-    entry validity)."""
+    entry validity).
+    ``t0``: traced scalar first-tile id for tile-partitioned rasterization
+    (SURVEY §2.3 item 3; the per-shard analogue of the reference's tile-range
+    machinery, rasterizer_impl.cu:116-138) — only the ``num_tiles`` tiles
+    from ``t0`` are ranked/counted. Ranks for entries on tiles outside the
+    shard stay 0 and are dropped by the table scatter's local-bounds check.
+    """
     P, D = tid.shape
     if Tc is None:
         Tc = _default_tc(num_tiles)
@@ -178,7 +187,9 @@ def compute_ranks_pallas(
         P, D, num_tiles + pad_tiles, Tc, tiles_x,
         jax.default_backend() != "tpu",
     )
-    rank, counts = call(_nb_valid(n_valid, P), packed_sorted[None], tid[None])
+    t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
+    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
+    rank, counts = call(scalars, packed_sorted[None], tid[None])
     return rank[0], counts[0, :num_tiles]
 
 

@@ -115,7 +115,9 @@ def rasterize_tiles(
             tile_range[0], tile_range[1], tiles_x, cfg.tile
         )
 
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    if cfg.use_pallas and (
+        jax.default_backend() == "tpu" or cfg.interpret_kernels
+    ):
         from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
 
         out = composite_tiles_pallas(

@@ -92,11 +92,16 @@ def rasterize_tile_sharded(
         )
 
     repl = P()
+    # check_vma=False: pallas_call does not annotate varying-mesh-axes on its
+    # outputs, which shard_map's checker otherwise requires — the out_specs
+    # below are the authoritative contract (validated bit-exact vs the
+    # single-device render in tests/test_parallel.py for both raster paths).
     values, final_t, overflow, clipped, radius = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(repl,) * 9,
         out_specs=(P(axis), P(axis), P(axis), repl, repl),
+        check_vma=False,
     )(xyz, geom, opacity, color, feature, alive, cam, means2d_offset, fw)
 
     H, W = cam.height, cam.width

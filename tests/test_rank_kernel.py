@@ -264,3 +264,39 @@ def test_dead_block_skip_exact(rng):
     tbl0[s0[s0 >= 0]] = np.asarray(g0)[s0 >= 0]
     tbl1[s1[s1 >= 0]] = np.asarray(g1)[s1 >= 0]
     np.testing.assert_array_equal(tbl0, tbl1)
+
+
+def test_rank_kernel_tile_offset_matches_scan_binning(rng):
+    """The non-compacted rank kernel's tile-offset path (used by sharded
+    binning when block compaction is off, e.g. after telemetry escalation)
+    must reproduce the scan path's per-shard tables and telemetry exactly."""
+    import dataclasses
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians, tile_grid
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    P = 512
+    base = RasterizeConfig(tile=16, max_per_tile=32, max_tiles_per_gaussian=6,
+                           chunk=32, rank_block_slots=0)
+    cfg_kernel = dataclasses.replace(base, interpret_kernels=True)
+    cfg_scan = dataclasses.replace(base, use_rank_kernel=False)
+    W, H = 160, 128  # 10 x 8 = 80 tiles
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 24, P).astype(np.float32)),
+    )
+    n_local = 32  # 80 tiles over 3 shards: padding tiles alias next shard
+    for t0 in (None, 0, 32, 64):
+        tr = None if t0 is None else (jnp.int32(t0), n_local)
+        bk = bin_gaussians(prep, W, H, cfg_kernel, tile_range=tr)
+        bs = bin_gaussians(prep, W, H, cfg_scan, tile_range=tr)
+        np.testing.assert_array_equal(np.asarray(bk.tile_index),
+                                      np.asarray(bs.tile_index), err_msg=f"t0={t0}")
+        np.testing.assert_array_equal(np.asarray(bk.tile_counts),
+                                      np.asarray(bs.tile_counts), err_msg=f"t0={t0}")
+        assert int(bk.overflow) == int(bs.overflow), t0
+        assert int(bk.clipped) == int(bs.clipped), t0
