@@ -302,16 +302,26 @@ class Trainer:
 
             if iteration % log_every == 0 or iteration == iterations:
                 m = jax.device_get(metrics)
-                if int(m.overflow) > 0:
-                    self._maybe_grow_block_slots(int(m.overflow))
-                if int(m.clipped) > 0:
-                    self._maybe_grow_tiles_per_gaussian(int(m.clipped))
+                # Continuous telemetry: the running max in TrainState has
+                # folded EVERY step's drops since the last check (device-side
+                # maximum in the jit), so drops between log points cannot
+                # slip through. React, then reset the accumulator.
+                mo = int(jax.device_get(self.state.max_overflow))
+                mc = int(jax.device_get(self.state.max_clipped))
+                if mo > 0:
+                    self._maybe_grow_block_slots(mo)
+                if mc > 0:
+                    self._maybe_grow_tiles_per_gaussian(mc)
+                if mo > 0 or mc > 0:
+                    self.state = self.state.replace(
+                        max_overflow=jnp.int32(0), max_clipped=jnp.int32(0)
+                    )
                 rate = iteration / (time.time() - t_start)
                 print(
                     f"[{iteration}/{iterations}] loss={float(m.loss):.5f} "
                     f"l1={float(m.l1):.5f} psnr={float(m.psnr):.2f} "
-                    f"alive={int(m.num_alive)} overflow={int(m.overflow)} "
-                    f"clipped={int(m.clipped)} ({rate:.2f} it/s)",
+                    f"alive={int(m.num_alive)} overflow={int(mo)} "
+                    f"clipped={int(mc)} ({rate:.2f} it/s)",
                     flush=True,
                 )
                 history.append(

