@@ -84,6 +84,9 @@ class ModelConfig:
     capacity: int = 1 << 17        # static Gaussian slot count (TPU-only knob)
     init_points: int = 10_000      # random init size when no MVS cloud exists
     dpt_weights: str = ""          # .npz from tools/convert_dpt.py (MiDaS role)
+    lpips_weights: str = ""        # .npz from tools/convert_lpips.py; when set,
+                                   # training_report + evaluate include
+                                   # LPIPS-VGG (reference train.py:292)
     dpt_bf16: bool = False         # run the depth net in bf16 (f32 in/out).
                                    # Measured NEUTRAL at batch 1 on v5e
                                    # (33.7 vs ~34 ms/fwd — the net is

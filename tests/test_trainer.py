@@ -230,3 +230,35 @@ def test_trainer_ladder_reacts_to_interim_drop(rng):
     assert trainer.cfg.raster.max_tiles_per_gaussian == d_before * 2
     # accumulator reset after the ladder reacted
     assert int(trainer.state.max_clipped) == 0
+
+
+def test_training_report_persisted(rng, tmp_path):
+    """training_report parity (reference train.py:263-307): per-
+    test_iterations eval on train+test cams is printed AND persisted to the
+    model dir, along with the training history."""
+    import json
+
+    cfg = TrainConfig()
+    cfg.raster = RasterizeConfig(tile=16, max_per_tile=128,
+                                 max_tiles_per_gaussian=8, chunk=32,
+                                 use_pallas=False)
+    cfg.optim.densify_from_iter = 10_000
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.start_sample_pseudo = 10_000
+    cfg.optim.test_iterations = (4,)
+    cfg.optim.save_iterations = ()
+    cfg.optim.checkpoint_iterations = ()
+    scene = FakeScene(rng)
+    scene.model_path = str(tmp_path / "model")
+    trainer = Trainer(cfg, scene=scene)
+    trainer.train(iterations=6, log_every=3)
+
+    res = json.loads((tmp_path / "model" / "eval_results.json").read_text())
+    assert len(res) == 1 and res[0]["iteration"] == 4
+    for split in ("test", "train"):
+        assert {"l1", "psnr", "ssim"} <= set(res[0][split])
+        assert np.isfinite(res[0][split]["psnr"])
+    assert res[0]["total_points"] > 0
+
+    hist = json.loads((tmp_path / "model" / "training_history.json").read_text())
+    assert hist and hist[-1]["iter"] == 6
