@@ -186,16 +186,119 @@ def align_depth_segments(
     return adjusted, lines
 
 
+def fit_diagnostics(
+    depth_mono: np.ndarray,
+    depth_stereo: np.ndarray,
+    seg: np.ndarray,
+    lines: Dict[int, Tuple[float, float]],
+    max_scatter: int = 2000,
+) -> Dict:
+    """Per-unique-line fit diagnostics (reference conclude.py:225-283's
+    debugging surface as data): for each distinct (a, b) — several segments
+    can share one inherited line — the member segment ids, valid-pixel
+    count, mean orthogonal residual |stereo - a*mono - b|/sqrt(a^2+1), and a
+    subsampled (mono, stereo) scatter for plotting."""
+    valid = depth_stereo > 0
+    by_line: Dict[Tuple[float, float], list] = {}
+    for sid, ab in lines.items():
+        by_line.setdefault(ab, []).append(sid)
+    out = []
+    for (a, b), sids in sorted(by_line.items()):
+        m = valid & np.isin(seg, sids)
+        dm = depth_mono[m]
+        ds = depth_stereo[m]
+        resid = (
+            float(np.mean(np.abs(ds - a * dm - b)) / np.sqrt(a * a + 1.0))
+            if dm.size
+            else float("nan")
+        )
+        if dm.size > max_scatter:
+            pick = np.linspace(0, dm.size - 1, max_scatter).astype(int)
+            dm, ds = dm[pick], ds[pick]
+        out.append({
+            "a": float(a), "b": float(b), "segments": sids,
+            "n_valid": int(m.sum()), "mean_residual": resid,
+            "scatter_mono": dm.astype(np.float32),
+            "scatter_stereo": ds.astype(np.float32),
+        })
+    return {"lines": out}
+
+
+def save_fit_diagnostics(
+    diag: Dict,
+    depth_mono: np.ndarray,
+    depth_stereo: np.ndarray,
+    adjusted: np.ndarray,
+    seg: np.ndarray,
+    out_base,
+) -> None:
+    """Write the diagnostics to ``<out_base>_diag.npz`` and (when matplotlib
+    is importable) ``<out_base>_ransac.jpg`` — a grid of per-line segment
+    masks + scatter/fit plots — plus mono/stereo/adjust grayscale previews
+    (reference conclude.py:225-320 artifacts)."""
+    from pathlib import Path
+
+    out_base = Path(out_base)
+    flat = {"n_lines": np.int32(len(diag["lines"]))}
+    for i, ln in enumerate(diag["lines"]):
+        flat[f"line{i}_ab"] = np.array([ln["a"], ln["b"]], np.float64)
+        flat[f"line{i}_segments"] = np.asarray(ln["segments"], np.int32)
+        flat[f"line{i}_stats"] = np.array(
+            [ln["n_valid"], ln["mean_residual"]], np.float64
+        )
+        flat[f"line{i}_scatter"] = np.stack(
+            [ln["scatter_mono"], ln["scatter_stereo"]]
+        )
+    np.savez_compressed(out_base.parent / f"{out_base.name}_diag.npz", **flat)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    n = max(len(diag["lines"]), 1)
+    n_cols = min(4, n)
+    n_rows = -(-n // n_cols)
+    fig, ax = plt.subplots(n_rows, 2 * n_cols,
+                           figsize=(6 * n_cols, 3.2 * n_rows), squeeze=False)
+    xline = np.linspace(depth_mono.min(), depth_mono.max(), 64)
+    for i, ln in enumerate(diag["lines"]):
+        r, c = divmod(i, n_cols)
+        mask = np.isin(seg, ln["segments"])
+        ax[r, 2 * c].imshow(mask, cmap="gray")
+        ax[r, 2 * c].set_title(f"segs {ln['segments'][:6]}", fontsize=8)
+        ax[r, 2 * c].axis("off")
+        ax[r, 2 * c + 1].scatter(ln["scatter_mono"], ln["scatter_stereo"], s=0.5)
+        ax[r, 2 * c + 1].plot(xline, ln["a"] * xline + ln["b"], "r")
+        ax[r, 2 * c + 1].set_title(
+            f"a={ln['a']:.3f} b={ln['b']:.3f} r={ln['mean_residual']:.3f}",
+            fontsize=8,
+        )
+    for i in range(len(diag["lines"]), n_rows * n_cols):
+        r, c = divmod(i, n_cols)
+        ax[r, 2 * c].axis("off")
+        ax[r, 2 * c + 1].axis("off")
+    fig.savefig(out_base.parent / f"{out_base.name}_ransac.jpg", dpi=80)
+    plt.close(fig)
+    for arr, tag in ((depth_stereo, "stereo"), (adjusted, "adjust"),
+                     (depth_mono, "mono")):
+        plt.imsave(out_base.parent / f"{out_base.name}_{tag}.jpg", arr,
+                   cmap="gray")
+
+
 def conclude_depth_for_scene(
     scene_path,
     mono_depth_dir: str = "depth_maps_anything",
     seg_dir: Optional[str] = None,
     out_dir: str = "depth_adjust_maps_stereo_anything",
     invert_mono: bool = True,
+    diagnostics: bool = False,
 ) -> None:
     """Batch driver over a scene's train views (reference conclude.py:331-411):
     reads per-view mono PFM + sparse stereo depth + seg maps, writes
-    ``depth_<name>.npy``."""
+    ``depth_<name>.npy`` (+ fit diagnostics artifacts when ``diagnostics``,
+    conclude.py:225-320)."""
     from pathlib import Path
 
     from sdpgs_tpu.data.readers import read_pfm
@@ -220,5 +323,11 @@ def conclude_depth_for_scene(
                 seg = seg[0]
         else:
             seg = np.zeros_like(mono, dtype=np.int32)
-        adjusted, _ = align_depth_segments(mono, stereo, seg.astype(np.int32))
+        seg = seg.astype(np.int32)
+        adjusted, lines = align_depth_segments(mono, stereo, seg)
         np.save(outp / f"depth_{name}.npy", adjusted)
+        if diagnostics and lines:
+            diag = fit_diagnostics(mono, stereo, seg, lines)
+            save_fit_diagnostics(
+                diag, mono, stereo, adjusted, seg, outp / f"depth_{name}"
+            )

@@ -106,3 +106,37 @@ def test_metrics_dirs(tmp_path, rng):
     assert res["summary"]["PSNR"] > 45  # identical images
     assert res["summary"]["SSIM"] > 0.99
     assert len(res["per_view"]["PSNR"]) == 3
+
+
+def test_fit_diagnostics_artifacts(tmp_path, rng):
+    """conclude.py's fit-diagnostics surface (conclude.py:225-320): per-line
+    stats/scatter npz + ransac grid + grayscale previews land on disk."""
+    from sdpgs_tpu.pipelines.depth_align import (
+        fit_diagnostics,
+        save_fit_diagnostics,
+    )
+
+    H, W = 60, 80
+    seg = np.zeros((H, W), np.int32)
+    seg[:, 40:] = 1
+    mono = rng.uniform(1, 5, (H, W)).astype(np.float32)
+    true = np.where(seg == 0, 2.0 * mono + 1.0, 0.5 * mono + 3.0)
+    sparse = np.zeros((H, W), np.float32)
+    pick = rng.random((H, W)) < 0.2
+    sparse[pick] = true[pick]
+    adjusted, lines = align_depth_segments(mono, sparse, seg)
+
+    diag = fit_diagnostics(mono, sparse, seg, lines)
+    assert len(diag["lines"]) == 2
+    for ln in diag["lines"]:
+        assert ln["n_valid"] > 0
+        assert ln["mean_residual"] < 0.2
+        assert ln["scatter_mono"].shape == ln["scatter_stereo"].shape
+
+    save_fit_diagnostics(diag, mono, sparse, adjusted, seg,
+                         tmp_path / "depth_view0")
+    loaded = np.load(tmp_path / "depth_view0_diag.npz")
+    assert int(loaded["n_lines"]) == 2
+    assert loaded["line0_scatter"].shape[0] == 2
+    for tag in ("ransac", "stereo", "adjust", "mono"):
+        assert (tmp_path / f"depth_view0_{tag}.jpg").exists(), tag
