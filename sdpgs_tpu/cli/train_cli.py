@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_iterations", nargs="+", type=int,
                    default=[5000, 10000])
     p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--dpt_weights", type=str, default="",
+                   help=".npz depth net (tools/convert_dpt.py or "
+                        "dpt.save_params) for the pseudo window's MiDaS role")
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help=".npz LPIPS-VGG weights for eval reports")
     p.add_argument("--quiet", action="store_true")
     # optimization overrides (reference per-scene flags, run_llff_mvs.sh)
     for f in dataclasses.fields(OptimizationConfig):
@@ -62,6 +67,8 @@ def config_from_args(args):
     m.nviews = args.nviews
     m.sh_degree = args.sh_degree
     m.capacity = args.capacity
+    m.dpt_weights = args.dpt_weights
+    m.lpips_weights = args.lpips_weights
 
     for f in dataclasses.fields(OptimizationConfig):
         v = getattr(args, f.name, None)
@@ -92,13 +99,9 @@ def main(argv=None):
         trainer.restore(ckpt_dir, int(step))
         print(f"resumed from {ckpt_dir} at step {step}")
 
-    def on_eval(tr, iteration):
-        res = tr.evaluate()
-        if res:
-            print(f"[ITER {iteration}] test PSNR {res['psnr']:.3f} "
-                  f"SSIM {res['ssim']:.4f} over {res['n_views']} views")
-
-    trainer.train(on_eval=on_eval)
+    # default on_eval = Trainer._training_report: prints L1/PSNR/SSIM(/LPIPS)
+    # for train+test views and persists eval_results.json to the model dir
+    trainer.train()
     print("\nTraining complete.")
 
 

@@ -104,6 +104,17 @@ def read_pfm(path) -> np.ndarray:
     return np.flipud(data.reshape(shape)).copy()
 
 
+def write_pfm(path, data: np.ndarray) -> None:
+    """Minimal PFM writer (inverse of :func:`read_pfm`; little-endian)."""
+    data = np.asarray(data, np.float32)
+    color = data.ndim == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        np.flipud(data).astype("<f4").tofile(f)
+
+
 def load_language_features(
     features_dir, image_name: str, height: int, width: int
 ):

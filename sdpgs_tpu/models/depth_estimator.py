@@ -84,4 +84,10 @@ def make_mono_depth_fn(
         return None
     import numpy as np
 
-    return mono_depth_from_params(dict(np.load(weights_path)), dtype=dtype)
+    raw = dict(np.load(weights_path))
+    arch = None
+    if "__arch__" in raw:  # embedded architecture (dpt.save_params)
+        from sdpgs_tpu.models.dpt import arch_from_json_bytes
+
+        arch = arch_from_json_bytes(raw.pop("__arch__"))
+    return mono_depth_from_params(raw, arch=arch, dtype=dtype)

@@ -400,6 +400,38 @@ def random_params(arch: DPTArch = DPTArch.hybrid(), seed: int = 0,
     return p
 
 
+def save_params(path, params: Dict[str, np.ndarray],
+                arch: DPTArch | None = None) -> None:
+    """Save a DPT param dict as .npz, embedding the architecture as a JSON
+    ``__arch__`` entry so loaders need no shape heuristics (full-size
+    checkpoints from tools/convert_dpt.py omit it and rely on the
+    large/hybrid key-prefix detection)."""
+    import json
+
+    out = {k: np.asarray(v) for k, v in params.items()}
+    if arch is not None:
+        d = dataclasses.asdict(arch)
+        out["__arch__"] = np.frombuffer(
+            json.dumps(d).encode(), dtype=np.uint8
+        )
+    np.savez(path, **out)
+
+
+def arch_from_json_bytes(raw: np.ndarray) -> DPTArch:
+    """Rebuild a DPTArch from the ``__arch__`` npz entry."""
+    import json
+
+    from sdpgs_tpu.models.bit import BitArch
+
+    d = json.loads(bytes(np.asarray(raw, np.uint8)).decode())
+    bit = d.pop("bit", None)
+    if bit is not None:
+        bit = BitArch(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in bit.items()})
+    return DPTArch(**{k: tuple(v) if isinstance(v, list) else v
+                      for k, v in d.items()}, bit=bit)
+
+
 class DPTDepthModel:
     """Loaded DPT with an ``estimate_depth``-style interface
     (reference utils/depth_utils.py:18-45: resize to 384x512, normalize,
