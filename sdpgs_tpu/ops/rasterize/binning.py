@@ -65,6 +65,27 @@ def tile_rect(
     return xmin, xmax, ymin, ymax
 
 
+def pack_rect(xmin, xmax, ymin, ymax):
+    """Pack a tile rect into one i32: 8 bits per coord (grids up to 255
+    tiles per axis — 8160 px at tile=32). ymax occupies bits 24-31 so large
+    grids wrap into the sign bit; that is fine because the packed word rides
+    through ``lax.sort`` as a *value* operand and :func:`unpack_rect` masks
+    after shifting (sign-safe)."""
+    return xmin | (xmax << 8) | (ymin << 16) | (ymax << 24)
+
+
+def unpack_rect(packed):
+    """Inverse of :func:`pack_rect`. ``(p >> k) & 0xFF`` is correct even for
+    negative packed words: arithmetic shift sign-fills only bits above the
+    mask."""
+    return (
+        packed & 0xFF,
+        (packed >> 8) & 0xFF,
+        (packed >> 16) & 0xFF,
+        (packed >> 24) & 0xFF,
+    )
+
+
 def _tile_chunk(num_tiles: int, P: int) -> int:
     """Tiles per chunk, sized so the [P, Tc] mask stays ~<=64MB."""
     tc = max(8, (1 << 24) // max(P, 1))
@@ -94,8 +115,9 @@ def bin_gaussians(
     # Pack each Gaussian's tile rect into one i32 and carry it through the
     # sort as a value operand: multi-operand lax.sort is ~10x cheaper than
     # argsort followed by random gathers on TPU.
-    assert tiles_x < 128 and tiles_y < 128, (
-        "rect packing uses 7-bit tile coords; raise cfg.tile for this image size"
+    assert tiles_x < 256 and tiles_y < 256, (
+        "rect packing uses 8-bit tile coords (8160 px at tile=32); raise "
+        "cfg.tile for this image size"
     )
     xmin0, xmax0, ymin0, ymax0 = tile_rect(
         prep.mean2d, prep.radius, tiles_x, tiles_y, cfg.tile
@@ -104,7 +126,7 @@ def bin_gaussians(
     valid0 = prep.valid & (count0 > 0)                           # forward.cu:236
     xmax0 = jnp.where(valid0, xmax0, xmin0)
     ymax0 = jnp.where(valid0, ymax0, ymin0)
-    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)  # 7 bits each
+    packed = pack_rect(xmin0, xmax0, ymin0, ymax0)
 
     depth_key = jnp.where(valid0, prep.depth, jnp.inf)
     # valid entries sort to the front (inf keys last): the rank kernels skip
@@ -114,10 +136,7 @@ def bin_gaussians(
     _, packed_s, order = jax.lax.sort(
         (depth_key, packed, gids), num_keys=1, is_stable=True
     )
-    xmin = packed_s & 0x7F
-    xmax = (packed_s >> 7) & 0x7F
-    ymin = (packed_s >> 14) & 0x7F
-    ymax = (packed_s >> 21) & 0x7F
+    xmin, xmax, ymin, ymax = unpack_rect(packed_s)
     rect_w = xmax - xmin
     count = rect_w * (ymax - ymin)
     valid_s = count > 0

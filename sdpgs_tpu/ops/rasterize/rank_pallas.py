@@ -56,11 +56,10 @@ def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
     # *valid* block's write survives.
     @pl.when(b < nb_valid)
     def _():
+        from sdpgs_tpu.ops.rasterize.binning import unpack_rect
+
         packed = packed_ref[0, :]                          # [Pb] i32
-        xmin = packed & 0x7F
-        xmax = (packed >> 7) & 0x7F
-        ymin = (packed >> 14) & 0x7F
-        ymax = (packed >> 21) & 0x7F
+        xmin, xmax, ymin, ymax = unpack_rect(packed)
 
         t0 = t0g + c * Tc
         tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
@@ -249,11 +248,10 @@ def _rank_compact_main(
     counts_ref, dropped_ref, carry_ref,
     *, Pb, Tc, D, tiles_x, nb, nc, K, n_valid, groups, s_groups,
 ):
+    from sdpgs_tpu.ops.rasterize.binning import unpack_rect
+
     packed = packed_ref[0, :]                              # [Pb] i32
-    xmin = packed & 0x7F
-    xmax = (packed >> 7) & 0x7F
-    ymin = (packed >> 14) & 0x7F
-    ymax = (packed >> 21) & 0x7F
+    xmin, xmax, ymin, ymax = unpack_rect(packed)
 
     t0 = t0g + c * Tc
     tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]

@@ -34,6 +34,8 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
         stats=jax.tree_util.tree_map(gauss_sharded, state.stats),
         step=repl,
         rng=repl,
+        max_overflow=repl,
+        max_clipped=repl,
     )
 
 

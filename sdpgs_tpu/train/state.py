@@ -31,8 +31,10 @@ class TrainState:
     # (binning.py) airtight. The Trainer reads + resets these at its
     # telemetry-ladder boundaries. The static-shape answer to the
     # reference's dynamic resize callbacks (rasterize_points.cu:27-33).
-    max_overflow: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
-    max_clipped: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    # (no defaults: every template construction — e.g. sharding pytrees —
+    # must make an explicit choice for these leaves)
+    max_overflow: jnp.ndarray
+    max_clipped: jnp.ndarray
 
     @classmethod
     def create(cls, gaussians: Gaussians, seed: int = 0) -> "TrainState":

@@ -5,6 +5,7 @@ the production scan path's mask-cumsum semantics)."""
 import numpy as np
 import jax.numpy as jnp
 
+from sdpgs_tpu.ops.rasterize.binning import pack_rect, unpack_rect
 from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
 
 
@@ -20,7 +21,7 @@ def test_rank_kernel_matches_reference(rng):
     valid = rng.random(P) > 0.2
     xmax = np.where(valid, xmax, xmin)
     ymax = np.where(valid, ymax, ymin)
-    packed = (xmin | (xmax << 7) | (ymin << 14) | (ymax << 21)).astype(np.int32)
+    packed = np.asarray(pack_rect(xmin, xmax, ymin, ymax)).astype(np.int32)
 
     tid = np.full((P, D), -1, np.int32)
     for p in range(P):
@@ -85,15 +86,12 @@ def test_compact_kernel_matches_scan_binning(rng):
     valid0 = prep.valid & (count0 > 0)
     xmax0 = jnp.where(valid0, xmax0, xmin0)
     ymax0 = jnp.where(valid0, ymax0, ymin0)
-    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)
+    packed = pack_rect(xmin0, xmax0, ymin0, ymax0)
     depth_key = jnp.where(valid0, prep.depth, jnp.inf)
     gids = jnp.arange(P, dtype=jnp.int32)
     _, packed_s, order = jax.lax.sort((depth_key, packed, gids), num_keys=1,
                                       is_stable=True)
-    xmin = packed_s & 0x7F
-    xmax = (packed_s >> 7) & 0x7F
-    ymin = (packed_s >> 14) & 0x7F
-    ymax = (packed_s >> 21) & 0x7F
+    xmin, xmax, ymin, ymax = unpack_rect(packed_s)
     rect_w = xmax - xmin
     count = rect_w * (ymax - ymin)
     d = jnp.arange(D, dtype=jnp.int32)[None, :]
@@ -125,7 +123,7 @@ def test_compact_kernel_block_slot_overflow(rng):
     P, D, tiles_x = 256, 4, 8
     T = 64
     # every Gaussian covers a 2x2 rect -> 4 entries each = 1024 > S=64
-    packed = np.full(P, 1 | (3 << 7) | (1 << 14) | (3 << 21), np.int32)
+    packed = np.full(P, int(pack_rect(1, 3, 1, 3)), np.int32)
     tid = np.zeros((P, D), np.int32)
     rects = [(ty * tiles_x + tx) for ty in (1, 2) for tx in (1, 2)]
     tid[:] = np.array(rects, np.int32)[None, :]
@@ -174,17 +172,14 @@ def test_compact_kernel_tile_offset_matches_scan(rng):
     valid0 = prep.valid & (count0 > 0)
     xmax0 = jnp.where(valid0, xmax0, xmin0)
     ymax0 = jnp.where(valid0, ymax0, ymin0)
-    packed = xmin0 | (xmax0 << 7) | (ymin0 << 14) | (ymax0 << 21)
+    packed = pack_rect(xmin0, xmax0, ymin0, ymax0)
     depth_key = jnp.where(valid0, prep.depth, jnp.inf)
     gids = jnp.arange(P, dtype=jnp.int32)
     _, packed_s, order = jax.lax.sort((depth_key, packed, gids), num_keys=1,
                                       is_stable=True)
-    xmin = packed_s & 0x7F
-    xmax = (packed_s >> 7) & 0x7F
-    ymin = (packed_s >> 14) & 0x7F
+    xmin, xmax, ymin, ymax = unpack_rect(packed_s)
     rect_w = xmax - xmin
-    count = rect_w * ((packed_s >> 21) & 0x7F)
-    count = rect_w * (((packed_s >> 21) & 0x7F) - ymin)
+    count = rect_w * (ymax - ymin)
     d = jnp.arange(D, dtype=jnp.int32)[None, :]
     rw = jnp.maximum(rect_w, 1)[:, None]
     tile_x = xmin[:, None] + d % rw
@@ -229,7 +224,7 @@ def test_dead_block_skip_exact(rng):
     valid = np.arange(P) < n_valid
     xmax = np.where(valid, xmax, xmin)
     ymax = np.where(valid, ymax, ymin)
-    packed = (xmin | (xmax << 7) | (ymin << 14) | (ymax << 21)).astype(np.int32)
+    packed = np.asarray(pack_rect(xmin, xmax, ymin, ymax)).astype(np.int32)
 
     tid = np.full((P, D), -1, np.int32)
     for p in range(P):
@@ -300,3 +295,53 @@ def test_rank_kernel_tile_offset_matches_scan_binning(rng):
                                       np.asarray(bs.tile_counts), err_msg=f"t0={t0}")
         assert int(bk.overflow) == int(bs.overflow), t0
         assert int(bk.clipped) == int(bs.clipped), t0
+
+
+def test_rect_packing_8bit_roundtrip_and_big_grid():
+    """8-bit rect packing (grids to 255 tiles/axis — VERDICT r1 weak #7,
+    formerly a hard 127-tile AssertionError): roundtrip across the full
+    range incl. ymax >= 128 (sign bit set in the packed i32), and binning
+    places entries correctly on a 150x140-tile grid."""
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import (
+        bin_gaussians,
+        pack_rect,
+        tile_grid,
+        unpack_rect,
+    )
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    coords = np.array([0, 1, 63, 127, 128, 200, 255], np.int32)
+    xm, xM, ym, yM = np.meshgrid(coords, coords, coords, coords, indexing="ij")
+    packed = np.asarray(pack_rect(
+        jnp.asarray(xm.ravel()), jnp.asarray(xM.ravel()),
+        jnp.asarray(ym.ravel()), jnp.asarray(yM.ravel())))
+    a, b, c, d = (np.asarray(v) for v in unpack_rect(jnp.asarray(packed)))
+    np.testing.assert_array_equal(a, xm.ravel())
+    np.testing.assert_array_equal(b, xM.ravel())
+    np.testing.assert_array_equal(c, ym.ravel())
+    np.testing.assert_array_equal(d, yM.ravel())
+    assert (packed < 0).any()  # sign-bit cases actually exercised
+
+    # scan-path binning on a 2400x2240 image @ tile=16 -> 150x140 tiles
+    cfg = RasterizeConfig(tile=16, max_per_tile=8, max_tiles_per_gaussian=4,
+                          chunk=8, use_rank_kernel=False)
+    W, H = 2400, 2240
+    tiles_x, tiles_y = tile_grid(W, H, cfg.tile)
+    assert tiles_x == 150 and tiles_y == 140
+    P = 4
+    # gaussians at far corners/centers, incl. tile coords > 127
+    centers = np.array([[8.0, 8.0], [2392.0, 2232.0], [2100.0, 900.0],
+                        [40.0, 2230.0]], np.float32)
+    prep = Preprocessed(
+        valid=jnp.ones(P, bool),
+        mean2d=jnp.asarray(centers),
+        depth=jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.full((P,), 2.0, jnp.float32),
+    )
+    bins = bin_gaussians(prep, W, H, cfg)
+    for i, (cx, cy) in enumerate(centers):
+        t = int(cy // 16) * tiles_x + int(cx // 16)
+        assert i in np.asarray(bins.tile_index[t]), (i, t)
+    assert int(bins.overflow) == 0
