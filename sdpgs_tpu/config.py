@@ -87,11 +87,18 @@ class ModelConfig:
     lpips_weights: str = ""        # .npz from tools/convert_lpips.py; when set,
                                    # training_report + evaluate include
                                    # LPIPS-VGG (reference train.py:292)
-    dpt_bf16: bool = False         # run the depth net in bf16 (f32 in/out).
-                                   # Measured NEUTRAL at batch 1 on v5e
-                                   # (33.7 vs ~34 ms/fwd — the net is
-                                   # layout-bound, not MXU-bound); useful
-                                   # once pseudo views are batched.
+    dpt_bf16: bool = False         # store/run the depth net in bf16 params
+                                   # (f32 in/out). HBM-side knob; compute
+                                   # speed is governed by
+                                   # dpt_matmul_precision below.
+    dpt_matmul_precision: str = "default"
+                                   # MXU precision for the depth net only.
+                                   # The package-wide default is "highest"
+                                   # (6-pass f32 — geometry needs it); the
+                                   # frozen depth net feeding scale-
+                                   # invariant Pearson losses does not, and
+                                   # single-pass bf16 runs ~6x faster.
+                                   # ("bfloat16_3x" is the middle ground.)
 
 
 @dataclass

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,11 +34,18 @@ def mono_depth_from_params(
     raw: dict,
     arch=None,
     dtype: Optional[jnp.dtype] = None,
+    matmul_precision: str = "default",
 ) -> MonoDepth:
     """Wrap an in-memory DPT param dict (state-dict names) as a
     :class:`MonoDepth`. Used by :func:`make_mono_depth_fn` (npz from disk),
     the pseudo-window bench flavor, and the synthetic acceptance rig
-    (``dpt.random_params``)."""
+    (``dpt.random_params``).
+
+    ``matmul_precision``: the package-wide default is "highest" (6-pass f32
+    MXU — geometry needs it), but the depth net does NOT: it feeds
+    scale-invariant Pearson losses, and single-pass bf16 ("default") runs
+    the MXU ~6x faster. Override with "bfloat16_3x"/"highest" to trade
+    speed back for accuracy."""
     import numpy as np
 
     from sdpgs_tpu.models.dpt import DPTArch, _resize_bilinear, dpt_forward
@@ -62,7 +70,8 @@ def mono_depth_from_params(
         x = (x - 0.5) / 0.5                                # DPT normalization
         if dtype is not None:
             x = x.astype(dtype)
-        depth = dpt_forward(params, x, arch).astype(jnp.float32)
+        with jax.default_matmul_precision(matmul_precision):
+            depth = dpt_forward(params, x, arch).astype(jnp.float32)
         out = _resize_bilinear(depth[:, None], H, W, align_corners=False)
         return out[0, 0]
 
@@ -72,6 +81,7 @@ def mono_depth_from_params(
 def make_mono_depth_fn(
     weights_path: Optional[str] = None,
     dtype: Optional[jnp.dtype] = None,
+    matmul_precision: str = "default",
 ) -> Optional[MonoDepth]:
     """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
     :class:`MonoDepth`. ``dtype=jnp.bfloat16`` runs the network in bf16
@@ -90,4 +100,5 @@ def make_mono_depth_fn(
         from sdpgs_tpu.models.dpt import arch_from_json_bytes
 
         arch = arch_from_json_bytes(raw.pop("__arch__"))
-    return mono_depth_from_params(raw, arch=arch, dtype=dtype)
+    return mono_depth_from_params(raw, arch=arch, dtype=dtype,
+                                  matmul_precision=matmul_precision)

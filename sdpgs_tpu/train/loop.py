@@ -67,6 +67,7 @@ class Trainer:
             mono_depth_fn = make_mono_depth_fn(
                 cfg.model.dpt_weights,
                 dtype=jnp.bfloat16 if cfg.model.dpt_bf16 else None,
+                matmul_precision=cfg.model.dpt_matmul_precision,
             )
         if isinstance(mono_depth_fn, MonoDepth):
             self.mono_depth_fn = mono_depth_fn.apply
