@@ -34,8 +34,19 @@ def main():
         sd = torch.load(args.state_dict, map_location="cpu")
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-    np.savez(args.out, **convert_state_dict(sd))
-    print(f"wrote {args.out}")
+    params = convert_state_dict(sd)
+
+    # Embed the architecture so the loader needs no shape heuristics
+    # (models.dpt.save_params / models.depth_estimator.make_mono_depth_fn).
+    from sdpgs_tpu.models.dpt import DPTArch, save_params
+
+    arch = (
+        DPTArch.hybrid()
+        if any(k.startswith("dpt.embeddings.backbone.") for k in params)
+        else DPTArch.large()
+    )
+    save_params(args.out, params, arch)
+    print(f"wrote {args.out} ({'hybrid' if arch.is_hybrid else 'large'})")
 
 
 if __name__ == "__main__":
