@@ -57,7 +57,7 @@ def main():
     monos = {
         prec: mono_depth_from_params(raw, arch=DPTArch.hybrid(),
                                      matmul_precision=prec)
-        for prec in ("default", "bfloat16_3x", "highest")
+        for prec in ("default", "BF16_BF16_F32_X3", "highest")
     }
     img = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)).astype(np.float32))
 
@@ -67,7 +67,7 @@ def main():
         outs[prec] = jax.jit(mono.apply)(mono.params, img)
     hi = outs["highest"]
     scale = float(jnp.max(hi) - jnp.min(hi)) or 1.0
-    for prec in ("default", "bfloat16_3x"):
+    for prec in ("default", "BF16_BF16_F32_X3"):
         err = float(jnp.max(jnp.abs(outs[prec] - hi))) / scale
         print(f"dpt {prec:12s} vs highest: rel-range err {err:.5f}", flush=True)
 

@@ -98,7 +98,7 @@ class ModelConfig:
                                    # frozen depth net feeding scale-
                                    # invariant Pearson losses does not, and
                                    # single-pass bf16 runs ~6x faster.
-                                   # ("bfloat16_3x" is the middle ground.)
+                                   # ("BF16_BF16_F32_X3" is the middle ground.)
 
 
 @dataclass

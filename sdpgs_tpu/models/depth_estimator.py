@@ -44,7 +44,7 @@ def mono_depth_from_params(
     ``matmul_precision``: the package-wide default is "highest" (6-pass f32
     MXU — geometry needs it), but the depth net does NOT: it feeds
     scale-invariant Pearson losses, and single-pass bf16 ("default") runs
-    the MXU ~6x faster. Override with "bfloat16_3x"/"highest" to trade
+    the MXU ~6x faster. Override with "BF16_BF16_F32_X3"/"highest" to trade
     speed back for accuracy."""
     import numpy as np
 
