@@ -84,12 +84,11 @@ def make_mono_depth_fn(
     matmul_precision: str = "default",
 ) -> Optional[MonoDepth]:
     """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
-    :class:`MonoDepth`. ``dtype=jnp.bfloat16`` runs the network in bf16
-    (f32 in/out). Measured on v5e at batch-1 384x512: ~34 ms/forward in BOTH
-    dtypes (the batch-1 net is layout/bandwidth-bound, not MXU-bound), so
-    bf16 is off by default; it should pay once pseudo views are batched.
-    Quality-wise the Pearson pseudo-depth losses are scale-invariant, so
-    bf16's ~0.5% relative depth noise is far below the loss-weight scale."""
+    :class:`MonoDepth`. ``dtype=jnp.bfloat16`` stores/runs the params in
+    bf16 (f32 in/out) — an HBM-side knob; compute speed is governed by
+    ``matmul_precision`` (see :func:`mono_depth_from_params`). Quality-wise
+    the Pearson pseudo-depth losses are scale-invariant, so bf16's ~0.5%
+    relative depth noise is far below the loss-weight scale."""
     if not weights_path or not Path(weights_path).exists():
         return None
     import numpy as np
