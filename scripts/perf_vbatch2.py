@@ -67,9 +67,10 @@ def main():
         bins = binning_lib.bin_gaussians(prep, WIDTH, HEIGHT, cfg)
         idxs.append(jax.block_until_ready(bins.tile_index))
         countss.append(jax.block_until_ready(bins.tile_counts))
+        cols_p = jnp.zeros((P, 3)).at[:ALIVE].set(jnp.asarray(cols))
         payloads.append(jax.block_until_ready(jnp.concatenate(
             [prep.mean2d, prep.conic, (opacity * prep.valid)[:, None],
-             jnp.asarray(cols), prep.depth[:, None], jnp.zeros((P, 3))],
+             cols_p, prep.depth[:, None], jnp.zeros((P, 3))],
             axis=-1)))
     idx3 = jnp.stack(idxs)           # [3, T, K]
     counts3 = jnp.stack(countss)

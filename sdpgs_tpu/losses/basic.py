@@ -25,13 +25,18 @@ def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def pearson_corrcoef(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Pearson correlation of two flattened arrays (torchmetrics parity)."""
+    """Pearson correlation of two flattened arrays (torchmetrics parity).
+
+    The variance product is clamped *inside* the sqrt: sqrt has an infinite
+    gradient at 0, so a constant input (e.g. a fully-background rendered
+    depth early in training) would otherwise emit NaN grads for every pixel
+    even though the value itself is finite."""
     x = x.reshape(-1)
     y = y.reshape(-1)
     xm = x - jnp.mean(x)
     ym = y - jnp.mean(y)
-    denom = jnp.sqrt(jnp.sum(xm * xm) * jnp.sum(ym * ym))
-    return jnp.sum(xm * ym) / jnp.maximum(denom, eps)
+    denom = jnp.sqrt(jnp.maximum(jnp.sum(xm * xm) * jnp.sum(ym * ym), eps * eps))
+    return jnp.sum(xm * ym) / denom
 
 
 def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:

@@ -24,8 +24,10 @@ def masked_pearson(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray, eps: float = 
     my = jnp.sum(y * w) / n
     xm = (x - mx) * w
     ym = (y - my) * w
-    denom = jnp.sqrt(jnp.sum(xm * xm) * jnp.sum(ym * ym))
-    return jnp.sum(xm * ym) / jnp.maximum(denom, eps)
+    # clamp inside the sqrt: its gradient at 0 is inf, and an all-masked or
+    # constant input would turn that into NaN grads (see pearson_corrcoef)
+    denom = jnp.sqrt(jnp.maximum(jnp.sum(xm * xm) * jnp.sum(ym * ym), eps * eps))
+    return jnp.sum(xm * ym) / denom
 
 
 def depth_pearson_loss(
@@ -60,22 +62,41 @@ def segment_pearson_loss(
 ) -> jnp.ndarray:
     """Mean over segments of (1 - rho(depth_seg, -mono_seg))
     (reference train.py:173-178), as segmented reductions instead of a Python
-    loop over segment ids."""
+    loop over segment ids.
+
+    The segmented sums run as two [S, N] x [N, 3] one-hot matmuls on the MXU
+    (and the per-pixel mean lookup as the transposed matmul): XLA scatters
+    cost ~7 ms per 1M update rows on TPU regardless of locality, so the six
+    ``segment_sum`` calls this replaces dominated the pseudo step (9.5 ms
+    measured at 504x378; the matmul form is ~100x cheaper for S ~ 8)."""
     d = depth.reshape(-1)
     m = (-depth_mono if negate_mono else depth_mono).reshape(-1)
     lab = labels.reshape(-1)
 
-    seg_sum = lambda v: jax.ops.segment_sum(v, lab, num_segments)
-    cnt = seg_sum(jnp.ones_like(d))
+    onehot = (
+        lab[None, :] == jnp.arange(num_segments, dtype=lab.dtype)[:, None]
+    ).astype(jnp.float32)                                     # [S, N]
+    seg_sum3 = lambda a, b, c: jnp.dot(
+        onehot, jnp.stack([a, b, c], axis=-1),
+        preferred_element_type=jnp.float32,
+    )                                                          # [S, 3]
+    gather = lambda v: jnp.dot(onehot.T, v)                    # v[lab], [N]
+
+    first = seg_sum3(jnp.ones_like(d), d, m)
+    cnt = first[:, 0]
     n = jnp.maximum(cnt, 1.0)
-    md = seg_sum(d) / n
-    mm = seg_sum(m) / n
-    dc = d - md[lab]
-    mc = m - mm[lab]
-    cov = seg_sum(dc * mc)
-    denom = jnp.sqrt(seg_sum(dc * dc) * seg_sum(mc * mc))
-    rho = cov / jnp.maximum(denom, 1e-8)
+    md = first[:, 1] / n
+    mm = first[:, 2] / n
+    dc = d - gather(md)
+    mc = m - gather(mm)
+    second = seg_sum3(dc * mc, dc * dc, mc * mc)
+    cov = second[:, 0]
     present = cnt > 1.0
+    # double-where: sqrt has an inf gradient at 0, which an empty or
+    # constant-valued segment would turn into NaN grads for every pixel —
+    # sanitize the operand before sqrt, then mask the quotient.
+    prod = jnp.maximum(jnp.where(present, second[:, 1] * second[:, 2], 1.0), 1e-24)
+    rho = jnp.where(present, cov, 0.0) / jnp.maximum(jnp.sqrt(prod), 1e-8)
     return jnp.sum(jnp.where(present, 1.0 - rho, 0.0)) / jnp.maximum(
         jnp.sum(present), 1.0
     )

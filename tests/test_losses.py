@@ -6,6 +6,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from sdpgs_tpu.losses import (
@@ -132,6 +133,37 @@ def test_segment_pearson(rng):
     out = float(segment_pearson_loss(jnp.asarray(d), jnp.asarray(-d),
                                      jnp.asarray(labels), 2))
     assert out == pytest.approx(0.0, abs=1e-5)
+
+
+def test_segment_pearson_matches_naive_loop(rng):
+    """One-hot-matmul segmented reductions vs a per-segment numpy loop
+    (the reference's python loop over segment ids, train.py:173-178),
+    including an empty segment slot."""
+    H, W, S = 24, 32, 5
+    d = rng.uniform(1, 5, (H, W)).astype(np.float32)
+    mono = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    labels = rng.integers(0, S - 1, (H, W)).astype(np.int32)  # segment S-1 empty
+
+    losses = []
+    m = -mono
+    for s in range(S):
+        sel = labels == s
+        if sel.sum() <= 1:
+            continue
+        ds, ms = d[sel], m[sel]
+        rho = np.corrcoef(ds, ms)[0, 1]
+        losses.append(1.0 - rho)
+    ref = float(np.mean(losses))
+
+    out = float(segment_pearson_loss(jnp.asarray(d), jnp.asarray(mono),
+                                     jnp.asarray(labels), S))
+    assert out == pytest.approx(ref, rel=1e-4)
+
+    # gradient flows and is finite
+    gfn = jax.grad(lambda dd: segment_pearson_loss(dd, jnp.asarray(mono),
+                                                   jnp.asarray(labels), S))
+    gd = gfn(jnp.asarray(d))
+    assert np.all(np.isfinite(np.asarray(gd)))
 
 
 def test_ssim_skimage_matches(rng):
