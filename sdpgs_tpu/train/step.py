@@ -76,23 +76,31 @@ class PseudoInputs(NamedTuple):
     mono_params: object = ()
 
 
-def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
-                     cfg: TrainConfig, sh_degree: int, bg, step,
-                     tile_mesh=None):
-    opt = cfg.optim
+def _render_view(g, cam, offset, cfg: TrainConfig, sh_degree: int, bg,
+                 tile_mesh=None):
+    """One differentiable render (vmapped over train + pseudo views alike:
+    the binning/composite/gather stages scale sublinearly under vmap, so a
+    single batched render of V+1 views is measurably cheaper than separate
+    train and pseudo renders)."""
     # per-Gaussian confidence scales the feature compositing when enabled
-    # (reference gaussian_renderer/__init__.py:227: pipe.use_confidence)
+    # (reference gaussian_renderer/__init__.py:227: pipe.use_confidence) —
+    # the reference's pseudo-view render goes through the same path
+    # (train.py:143), so confidence applies there too.
     conf = g.confidence if cfg.pipeline.use_confidence else None
     if tile_mesh is not None:
         from sdpgs_tpu.parallel.tile_shard import render_tile_sharded
 
-        out = render_tile_sharded(
+        return render_tile_sharded(
             cam, g, cfg.raster, bg, sh_degree, tile_mesh,
             means2d_offset=offset, confidence=conf,
         )
-    else:
-        out = render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset,
-                     confidence=conf)
+    return render(cam, g, cfg.raster, bg, sh_degree, means2d_offset=offset,
+                  confidence=conf)
+
+
+def _view_losses_from_out(out, gt_img, mono, gt_feat, seg, protos,
+                          cfg: TrainConfig, step):
+    opt = cfg.optim
     image = out.color.transpose(2, 0, 1)                 # [3, H, W]
     ll1 = l1_loss_mask(image, gt_img)
     loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim(image, gt_img))
@@ -109,18 +117,24 @@ def _per_view_losses(g, cam, gt_img, mono, gt_feat, seg, protos, offset,
         step > opt.end_sample_pseudo, opt.depth_weight_late, opt.depth_weight
     )
     loss = loss + depth_w * depth_pearson_loss(out.depth, mono, disparity_const=200.0)
-    return loss, (ll1, image, out)
+    return loss, (ll1, image)
 
 
-def _pseudo_losses(g, pseudo: PseudoInputs, protos, cfg: TrainConfig,
-                   sh_degree: int, bg, step,
-                   mono_depth_fn: Optional[Callable]):
-    """Pseudo-view regularization terms (train.py:138-188)."""
+def _pseudo_losses(out, pseudo: PseudoInputs, protos, cfg: TrainConfig,
+                   step, mono_depth_fn: Optional[Callable]):
+    """Pseudo-view regularization terms (train.py:138-188), computed from an
+    already-rendered pseudo view (the render rides in the same batched vmap
+    as the train views).
+
+    Segment labels come from the pseudo view's own rendered features; the
+    reference indexes the pseudo depth with labels from the *train* view's
+    feature render (train.py:156 ``render_pkg["feature"]``, not
+    ``render_pkg_pseudo``) — geometrically misaligned; we use the aligned
+    reading."""
     opt = cfg.optim
     it = step.astype(jnp.float32)
     loss_scale = jnp.clip((it - opt.start_sample_pseudo) / 500.0, 0.0, 1.0)
 
-    out = render(pseudo.camera, g, cfg.raster, bg, sh_degree)
     depth = out.depth
     total = jnp.float32(0.0)
 
@@ -174,28 +188,42 @@ def make_train_step(
         g = state.gaussians
         params = trainable_params(g)
         V = batch.image.shape[0]
-        offsets = jnp.zeros((V, g.capacity, 2), jnp.float32)
+        # one extra offset row for the pseudo view: all V+1 renders ride one
+        # vmap (sublinear scaling), only rows [:V] feed densification stats
+        # (the reference accumulates stats from the train render only,
+        # train.py:218-221)
+        n_render = V + 1 if with_pseudo else V
+        offsets = jnp.zeros((n_render, g.capacity, 2), jnp.float32)
+        if with_pseudo:
+            cams_all = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                batch.camera, pseudo.camera,
+            )
+        else:
+            cams_all = batch.camera
 
         def total_loss(params, offsets):
             gg = g.replace(**params)
 
-            def one(cam, img, mono, feat, seg, off):
-                return _per_view_losses(
-                    gg, cam, img, mono, feat, seg, prototypes, off,
-                    cfg, sh_degree, bg, state.step, tile_mesh=tile_mesh,
+            outs_all = jax.vmap(
+                lambda cam, off: _render_view(
+                    gg, cam, off, cfg, sh_degree, bg, tile_mesh=tile_mesh
                 )
+            )(cams_all, offsets)
+            outs = jax.tree_util.tree_map(lambda x: x[:V], outs_all)
 
-            losses, aux = jax.vmap(one)(
-                batch.camera, batch.image, batch.depth_mono,
-                batch.feature, batch.seg_map, offsets,
-            )
+            losses, (ll1, images) = jax.vmap(
+                lambda out, img, mono, feat, seg: _view_losses_from_out(
+                    out, img, mono, feat, seg, prototypes, cfg, state.step
+                )
+            )(outs, batch.image, batch.depth_mono, batch.feature, batch.seg_map)
             loss = jnp.mean(losses)
             if with_pseudo:
+                out_ps = jax.tree_util.tree_map(lambda x: x[V], outs_all)
                 loss = loss + _pseudo_losses(
-                    gg, pseudo, prototypes, cfg, sh_degree, bg, state.step,
-                    mono_depth_fn,
+                    out_ps, pseudo, prototypes, cfg, state.step, mono_depth_fn
                 )
-            return loss, aux
+            return loss, (ll1, images, outs)
 
         (loss, (ll1, images, outs)), grads = jax.value_and_grad(
             total_loss, argnums=(0, 1), has_aux=True
