@@ -88,7 +88,11 @@ def _make_pseudo(rng, cams):
     from sdpgs_tpu.train.step import PseudoInputs
 
     arch = DPT_ARCH if DPT_ARCH is not None else DPTArch.hybrid()
-    mono = mono_depth_from_params(random_params(arch, seed=0), arch=arch)
+    # bf16 params match the TrainConfig.model.dpt_bf16 default (17.8 vs
+    # 21.4 ms fwd+input-grad measured, scripts/perf_dpt.py)
+    mono = mono_depth_from_params(
+        random_params(arch, seed=0), arch=arch, dtype=jnp.bfloat16
+    )
     pcam = Camera.create(
         R=np.eye(3), T=np.array([0.05, 0.02, 0.0]), fovx=0.9, fovy=0.7,
         width=WIDTH, height=HEIGHT,

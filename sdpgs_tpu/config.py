@@ -87,9 +87,12 @@ class ModelConfig:
     lpips_weights: str = ""        # .npz from tools/convert_lpips.py; when set,
                                    # training_report + evaluate include
                                    # LPIPS-VGG (reference train.py:292)
-    dpt_bf16: bool = False         # store/run the depth net in bf16 params
-                                   # (f32 in/out). HBM-side knob; compute
-                                   # speed is governed by
+    dpt_bf16: bool = True          # store/run the depth net in bf16 params
+                                   # (f32 in/out). Measured 17.8 vs 21.4 ms
+                                   # fwd+input-grad on v5e (scripts/
+                                   # perf_dpt.py); the output feeds only
+                                   # scale-invariant Pearson terms. MXU pass
+                                   # count is governed separately by
                                    # dpt_matmul_precision below.
     dpt_matmul_precision: str = "default"
                                    # MXU precision for the depth net only.
