@@ -240,3 +240,73 @@ def test_tile_sharded_train_step_matches(rng, pallas):
         np.asarray(new_state.gaussians.opacity),
         np.asarray(ref_state.gaussians.opacity), rtol=1e-4, atol=1e-6,
     )
+
+
+def test_tile_sharded_pseudo_step_matches(rng):
+    """The pseudo-window step (V train views + pseudo view batched into one
+    render vmap, DPT in the loss) composes with tile-partitioned
+    rasterization: sharded == single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdpgs_tpu.config import TrainConfig
+    from sdpgs_tpu.core.camera import Camera
+    from sdpgs_tpu.core.gaussians import create_from_points
+    from sdpgs_tpu.models.depth_estimator import mono_depth_from_params
+    from sdpgs_tpu.models.dpt import DPTArch, random_params
+    from sdpgs_tpu.parallel import make_mesh, shard_train_state
+    from sdpgs_tpu.train.state import TrainState
+    from sdpgs_tpu.train.step import PseudoInputs, ViewBatch, make_train_step
+
+    cfg = TrainConfig()
+    cfg.raster = _raster_cfg(False)
+
+    n, cap = 128, 256
+    pts = (rng.normal(size=(n, 3)) * 0.4 + [0, 0, 3.0]).astype(np.float32)
+    g = create_from_points(pts, rng.uniform(size=(n, 3)).astype(np.float32),
+                           cap, init_scale=np.full(n, 0.01))
+    V, H, W = 2, 48, 64
+    cams = [Camera.create(R=np.eye(3), T=np.array([0.1 * i, 0, 0]), fovx=0.9,
+                          fovy=0.7, width=W, height=H) for i in range(V)]
+    batch = ViewBatch(
+        camera=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams),
+        image=jnp.asarray(rng.uniform(size=(V, 3, H, W)).astype(np.float32)),
+        depth_mono=jnp.asarray(rng.uniform(1, 5, size=(V, H, W)).astype(np.float32)),
+        feature=jnp.zeros((V, 3, H, W)),
+        seg_map=jnp.zeros((V, H, W), np.int32),
+    )
+    arch = DPTArch.tiny_hybrid()
+    mono = mono_depth_from_params(random_params(arch, seed=3), arch=arch)
+    pcam = Camera.create(R=np.eye(3), T=np.array([0.05, 0.02, 0.0]),
+                         fovx=0.9, fovy=0.7, width=W, height=H)
+    pseudo = PseudoInputs(
+        camera=pcam,
+        train_depths=jnp.asarray(rng.uniform(1, 5, size=(V, H, W)).astype(np.float32)),
+        K=cams[0].intrinsics_matrix(),
+        R_train=jnp.stack([c.view[:3, :3] for c in cams]),
+        t_train=jnp.stack([c.view[:3, 3] for c in cams]),
+        R_pseudo=pcam.view[:3, :3],
+        t_pseudo=pcam.view[:3, 3],
+        mono_params=mono.params,
+    )
+    protos, bg, lr = jnp.ones((4, 3)), jnp.zeros(3), jnp.float32(1.0)
+
+    g_copy = jax.tree_util.tree_map(jnp.copy, g)  # the jitted step donates
+    ref_state, ref_m = make_train_step(
+        cfg, sh_degree=1, with_pseudo=True, mono_depth_fn=mono.apply)(
+        TrainState.create(g_copy).replace(step=jnp.int32(4500)),
+        batch, protos, bg, lr, pseudo)
+
+    mesh = make_mesh(data=2, gauss=1, tile=4)
+    with mesh:
+        state = shard_train_state(
+            TrainState.create(g).replace(step=jnp.int32(4500)), mesh)
+        step = make_train_step(cfg, sh_degree=1, with_pseudo=True,
+                               mono_depth_fn=mono.apply, tile_mesh=mesh)
+        new_state, m = step(state, batch, protos, bg, lr, pseudo)
+        jax.block_until_ready(new_state)
+
+    np.testing.assert_allclose(float(m.loss), float(ref_m.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.xyz), np.asarray(ref_state.gaussians.xyz),
+        rtol=1e-4, atol=1e-6,
+    )
