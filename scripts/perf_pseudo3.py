@@ -89,19 +89,31 @@ def main():
     print(f"{'plain step':44s} {(time.perf_counter()-t0)/30*1000:7.2f} ms",
           flush=True)
 
-    g2, _, batch2 = benchmod._make_inputs(np.random.default_rng(0))
-    state2 = TrainState.create(g2)
-    state2 = state2.replace(step=jnp.int32(2500))
-    pstep = make_train_step(cfg, sh_degree=3, with_pseudo=True,
-                            mono_depth_fn=mono.apply)
-    state2, m2 = pstep(state2, batch2, protos, bg, lr, pseudo)
-    jax.block_until_ready(m2)
-    t0 = time.perf_counter()
-    for _ in range(15):
-        state2, m2 = pstep(state2, batch2, protos, bg, lr, pseudo)
-    jax.block_until_ready(m2)
-    print(f"{'pseudo step':44s} {(time.perf_counter()-t0)/15*1000:7.2f} ms",
-          flush=True)
+    def time_pseudo(label, mono_v, pseudo_v):
+        g2, _, batch2 = benchmod._make_inputs(np.random.default_rng(0))
+        state2 = TrainState.create(g2)
+        state2 = state2.replace(step=jnp.int32(2500))
+        pstep = make_train_step(cfg, sh_degree=3, with_pseudo=True,
+                                mono_depth_fn=mono_v.apply)
+        state2, m2 = pstep(state2, batch2, protos, bg, lr, pseudo_v)
+        jax.block_until_ready(m2)
+        t0 = time.perf_counter()
+        for _ in range(15):
+            state2, m2 = pstep(state2, batch2, protos, bg, lr, pseudo_v)
+        jax.block_until_ready(m2)
+        print(f"{label:44s} {(time.perf_counter()-t0)/15*1000:7.2f} ms",
+              flush=True)
+
+    time_pseudo("pseudo step (bench dtype)", mono, pseudo)
+
+    # f32-params DPT variant for the dtype split
+    from sdpgs_tpu.models.depth_estimator import mono_depth_from_params
+    from sdpgs_tpu.models.dpt import DPTArch, random_params
+
+    mono32 = mono_depth_from_params(random_params(DPTArch.hybrid(), seed=0),
+                                    arch=DPTArch.hybrid())
+    pseudo32 = pseudo._replace(mono_params=mono32.params)
+    time_pseudo("pseudo step (f32 DPT)", mono32, pseudo32)
 
 
 if __name__ == "__main__":

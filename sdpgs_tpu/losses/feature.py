@@ -81,11 +81,21 @@ def segment_cluster_assign(
     p_k = jax.nn.softmax(_cosine_to_prototypes(feat, prototypes), axis=-1)  # [N, S]
     p_img = p_k.reshape(H, W, -1)
 
+    # separable max-pool: max over a (w, w) window == max over (w, 1) then
+    # (1, w) — bit-identical, 2w instead of w^2 compares per pixel
     pooled = jax.lax.reduce_window(
         p_img,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(window, window, 1),
+        window_dimensions=(window, 1, 1),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    pooled = jax.lax.reduce_window(
+        pooled,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, 1),
         window_strides=(1, 1, 1),
         padding="SAME",
     )

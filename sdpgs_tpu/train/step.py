@@ -188,29 +188,16 @@ def make_train_step(
         g = state.gaussians
         params = trainable_params(g)
         V = batch.image.shape[0]
-        # one extra offset row for the pseudo view: all V+1 renders ride one
-        # vmap (sublinear scaling), only rows [:V] feed densification stats
-        # (the reference accumulates stats from the train render only,
-        # train.py:218-221)
-        n_render = V + 1 if with_pseudo else V
-        offsets = jnp.zeros((n_render, g.capacity, 2), jnp.float32)
-        if with_pseudo:
-            cams_all = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b[None]], axis=0),
-                batch.camera, pseudo.camera,
-            )
-        else:
-            cams_all = batch.camera
+        offsets = jnp.zeros((V, g.capacity, 2), jnp.float32)
 
         def total_loss(params, offsets):
             gg = g.replace(**params)
 
-            outs_all = jax.vmap(
+            outs = jax.vmap(
                 lambda cam, off: _render_view(
                     gg, cam, off, cfg, sh_degree, bg, tile_mesh=tile_mesh
                 )
-            )(cams_all, offsets)
-            outs = jax.tree_util.tree_map(lambda x: x[:V], outs_all)
+            )(batch.camera, offsets)
 
             losses, (ll1, images) = jax.vmap(
                 lambda out, img, mono, feat, seg: _view_losses_from_out(
@@ -219,7 +206,17 @@ def make_train_step(
             )(outs, batch.image, batch.depth_mono, batch.feature, batch.seg_map)
             loss = jnp.mean(losses)
             if with_pseudo:
-                out_ps = jax.tree_util.tree_map(lambda x: x[V], outs_all)
+                # separate UNVMAPPED render: folding the pseudo view into the
+                # train-view vmap as a V+1 batch measured ~6 ms SLOWER on v5e
+                # (67.8 vs 62.0 ms pseudo step) despite the sublinear
+                # per-section vmap scaling — the unbatched composite/binning
+                # lower better than their vmap-batched forms. No densify
+                # offset (the reference uses only the train render's
+                # screen-space grads, train.py:218-221).
+                out_ps = _render_view(
+                    gg, pseudo.camera, None, cfg, sh_degree, bg,
+                    tile_mesh=tile_mesh,
+                )
                 loss = loss + _pseudo_losses(
                     out_ps, pseudo, prototypes, cfg, state.step, mono_depth_fn
                 )
