@@ -172,6 +172,42 @@ def main():
         err = float(jnp.max(jnp.abs(a - jnp.transpose(b, (0, 3, 1, 2)))))
         print(f"layout parity max err: {err:.3e}", flush=True)
 
+    # per-stage split (NCHW): stem only, then cumulative through each stage
+    from sdpgs_tpu.models.bit import _gn, _maxpool_same, _ws_conv
+
+    def through_stage(n_stages):
+        def body(eps, p):
+            def run(xx):
+                with jax.default_matmul_precision("default"):
+                    G = arch.bit.num_groups
+                    h = _ws_conv(p, f"{pre}.embedder.convolution", xx, 7, 2)
+                    h = _gn(p, f"{pre}.embedder.norm", h, G)
+                    h = _maxpool_same(h)
+                    feats = []
+                    for si in range(n_stages):
+                        depth = arch.bit.depths[si]
+                        stage_stride = 1 if si == 0 else 2
+                        for li in range(depth):
+                            name = f"{pre}.encoder.stages.{si}.layers.{li}"
+                            stride = stage_stride if li == 0 else 1
+                            shortcut = h
+                            if li == 0:
+                                shortcut = _ws_conv(p, f"{name}.downsample.conv", h, 1, stride)
+                                shortcut = _gn(p, f"{name}.downsample.norm", shortcut, G, act=False)
+                            u = _ws_conv(p, f"{name}.conv1", h, 1)
+                            u = _gn(p, f"{name}.norm1", u, G)
+                            u = _ws_conv(p, f"{name}.conv2", u, 3, stride)
+                            u = _gn(p, f"{name}.norm2", u, G)
+                            u = _ws_conv(p, f"{name}.conv3", u, 1)
+                            u = _gn(p, f"{name}.norm3", u, G, act=False)
+                            h = jax.nn.relu(u + shortcut)
+                    return jnp.sum(h)
+            return jnp.sum(jax.grad(run)(x + eps))
+        return body
+
+    for ns in range(4):
+        timed(f"bit NCHW f/g through stage {ns}", through_stage(ns), p)
+
     timed("bit NCHW fwd", nchw_fwd, p)
     timed("bit NCHW fwd+input grad", nchw_fg, p)
     timed("bit NHWC fwd", nhwc_fwd, p_hwio)
