@@ -107,7 +107,7 @@ def step_parts():
     from sdpgs_tpu.opt.adam import adam_update, learning_rates, trainable_params
     from sdpgs_tpu.opt.densify import add_densification_stats
     from sdpgs_tpu.train.state import TrainState
-    from sdpgs_tpu.train.step import _per_view_losses
+    from sdpgs_tpu.train.step import _render_view, _view_losses_from_out
     from sdpgs_tpu.losses import psnr
 
     cfg = TrainConfig()
@@ -138,12 +138,12 @@ def step_parts():
         offsets = jnp.zeros((V, g.capacity, 2), jnp.float32)
         def total_loss(params, offsets):
             gg = g.replace(**params)
-            def one(cam, img, mono, feat, seg, off):
-                return _per_view_losses(gg, cam, img, mono, feat, seg, protos,
-                                        off, cfg, 3, bg, state.step)
-            losses, aux = jax.vmap(one)(batch.camera, batch.image,
-                                        batch.depth_mono, batch.feature,
-                                        batch.seg_map, offsets)
+            outs = jax.vmap(lambda cam, off: _render_view(
+                gg, cam, off, cfg, 3, bg))(batch.camera, offsets)
+            losses, aux = jax.vmap(
+                lambda out, img, mono, feat, seg: _view_losses_from_out(
+                    out, img, mono, feat, seg, protos, cfg, state.step)
+            )(outs, batch.image, batch.depth_mono, batch.feature, batch.seg_map)
             return jnp.mean(losses), aux
         (loss, aux), grads = jax.value_and_grad(total_loss, argnums=(0, 1),
                                                 has_aux=True)(params, offsets)

@@ -82,62 +82,17 @@ def _gn(p, name, x, num_groups: int, act: bool = True, eps: float = 1e-5) -> jnp
     return jax.nn.relu(x) if act else x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _maxpool_valid(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
+def _maxpool_same(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
+    """Max-pool with TF dynamic SAME padding.
+
+    Measured dead end (scripts/perf_stem.py, v5e): replacing the
+    select_and_scatter gradient with an equality-mask custom VJP of strided
+    slices+adds is SLOWER (3.66 vs 2.92 ms f/g at stem resolution) — the
+    strided updates lower as scatters. Keep XLA's native gradient."""
+    x = _same_pad(x, k, s, value=0.0)
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID"
     )
-
-
-def _maxpool_valid_fwd(x, k, s):
-    y = _maxpool_valid(x, k, s)
-    return y, (x, y)
-
-
-def _maxpool_valid_bwd(k, s, res, g):
-    """Equality-mask max-pool gradient from strided slices only.
-
-    XLA's default reduce_window gradient lowers to select_and_scatter,
-    which costs ~4 ms at the DPT-Hybrid stem resolution on v5e (the bulk of
-    the measured 5.9 ms stem fwd+grad, scripts/perf_bit.py). Static strided
-    slices + adds express the same routing on the VPU. Ties (common here:
-    the pooled input is post-ReLU, so flat zero regions tie exactly) share
-    the gradient equally — a symmetric subgradient that conserves the
-    gradient sum, where select_and_scatter picks the first match."""
-    x, y = res
-    Ho, Wo = y.shape[-2:]
-
-    def tap(a, b):
-        return jax.lax.slice(
-            x,
-            (0, 0, a, b),
-            (x.shape[0], x.shape[1], a + s * (Ho - 1) + 1, b + s * (Wo - 1) + 1),
-            (1, 1, s, s),
-        )
-
-    ties = sum(
-        (tap(a, b) == y).astype(x.dtype) for a in range(k) for b in range(k)
-    )
-    share = g / jnp.maximum(ties, 1.0)
-    gx = jnp.zeros_like(x)
-    for a in range(k):
-        for b in range(k):
-            contrib = (tap(a, b) == y).astype(x.dtype) * share
-            gx = gx.at[
-                ..., a : a + s * (Ho - 1) + 1 : s, b : b + s * (Wo - 1) + 1 : s
-            ].add(contrib)
-    return (gx,)
-
-
-_maxpool_valid.defvjp(_maxpool_valid_fwd, _maxpool_valid_bwd)
-
-
-def _maxpool_same(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
-    # -inf padding: forward-identical for the post-ReLU (>= 0) input, and the
-    # padding can never tie with a window max, so no gradient share is lost
-    # through the pad's crop in the custom VJP above.
-    x = _same_pad(x, k, s, value=-jnp.inf)
-    return _maxpool_valid(x, k, s)
 
 
 def bit_backbone(
