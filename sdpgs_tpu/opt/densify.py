@@ -76,6 +76,29 @@ def add_densification_stats(
     )
 
 
+def add_densification_stats_batched(
+    stats: DensifyStats,
+    viewspace_grads: jnp.ndarray,  # [V, P, 2] pixel-space d(mean2d) grads
+    visibility: jnp.ndarray,       # [V, P] bool
+    radii: jnp.ndarray,            # [V, P]
+    width: int,
+    height: int,
+) -> DensifyStats:
+    """Whole view batch in one pass (one [V, P] reduction instead of V
+    sequential [P] updates — the loop costs ~1.3 ms per view at 131k
+    capacity). Same accumulation semantics as V calls of
+    :func:`add_densification_stats`."""
+    gx = viewspace_grads[..., 0] * (0.5 * width)
+    gy = viewspace_grads[..., 1] * (0.5 * height)
+    norm = jnp.sqrt(gx * gx + gy * gy)                             # [V, P]
+    vis = visibility.astype(jnp.float32)
+    return DensifyStats(
+        xyz_gradient_accum=stats.xyz_gradient_accum + jnp.sum(norm * vis, axis=0),
+        denom=stats.denom + jnp.sum(vis, axis=0),
+        max_radii2d=jnp.maximum(stats.max_radii2d, jnp.max(radii * vis, axis=0)),
+    )
+
+
 class DensifyInfo(NamedTuple):
     spawned: jnp.ndarray   # int32 children actually written
     dropped: jnp.ndarray   # int32 children lost to capacity

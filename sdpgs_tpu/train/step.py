@@ -37,7 +37,7 @@ from sdpgs_tpu.losses import (
 )
 from sdpgs_tpu.losses.feature import segment_cluster_assign
 from sdpgs_tpu.opt.adam import adam_update, learning_rates, trainable_params
-from sdpgs_tpu.opt.densify import add_densification_stats
+from sdpgs_tpu.opt.densify import add_densification_stats_batched
 from sdpgs_tpu.render import render
 from sdpgs_tpu.train.state import TrainState
 
@@ -78,10 +78,9 @@ class PseudoInputs(NamedTuple):
 
 def _render_view(g, cam, offset, cfg: TrainConfig, sh_degree: int, bg,
                  tile_mesh=None):
-    """One differentiable render (vmapped over train + pseudo views alike:
-    the binning/composite/gather stages scale sublinearly under vmap, so a
-    single batched render of V+1 views is measurably cheaper than separate
-    train and pseudo renders)."""
+    """One differentiable render — vmapped over the train-view batch; the
+    pseudo view renders through the same function but UNVMAPPED (see
+    make_train_step)."""
     # per-Gaussian confidence scales the feature compositing when enabled
     # (reference gaussian_renderer/__init__.py:227: pipe.use_confidence) —
     # the reference's pseudo-view render goes through the same path
@@ -231,13 +230,12 @@ def make_train_step(
         g_new, opt_state = adam_update(g, param_grads, state.opt_state, lrs)
 
         # Densification stats: accumulate every view's screen-space grads
-        # (train.py:218-221), visibility = radii > 0 per view.
-        stats = state.stats
+        # (train.py:218-221), visibility = radii > 0 per view; one batched
+        # [V, P] reduction instead of V sequential passes.
         H, W = batch.image.shape[-2:]
-        for v in range(V):
-            stats = add_densification_stats(
-                stats, offset_grads[v], outs.visibility[v], outs.radii[v], W, H
-            )
+        stats = add_densification_stats_batched(
+            state.stats, offset_grads, outs.visibility, outs.radii, W, H
+        )
 
         metrics = StepMetrics(
             loss=loss,
