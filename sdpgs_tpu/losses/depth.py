@@ -76,11 +76,14 @@ def segment_pearson_loss(
     onehot = (
         lab[None, :] == jnp.arange(num_segments, dtype=lab.dtype)[:, None]
     ).astype(jnp.float32)                                     # [S, N]
-    seg_sum3 = lambda a, b, c: jnp.dot(
-        onehot, jnp.stack([a, b, c], axis=-1),
-        preferred_element_type=jnp.float32,
+    # broadcast-multiply-reduce, NOT jnp.dot: a [S,N]x[N,3] matmul has a
+    # ~200k contraction with an [S,3] output — the MXU runs ~1.5k nearly
+    # empty accumulation tiles (measured 3-4 ms f/b); the VPU form is a few
+    # bandwidth-bound passes over [S, N]
+    seg_sum3 = lambda a, b, c: jnp.sum(
+        onehot[:, :, None] * jnp.stack([a, b, c], axis=-1)[None], axis=1
     )                                                          # [S, 3]
-    gather = lambda v: jnp.dot(onehot.T, v)                    # v[lab], [N]
+    gather = lambda v: jnp.sum(onehot * v[:, None], axis=0)    # v[lab], [N]
 
     first = seg_sum3(jnp.ones_like(d), d, m)
     cnt = first[:, 0]
