@@ -44,24 +44,24 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(1, 3, 384, 512)).astype(np.float32))
 
-    prec = jax.default_matmul_precision("default")
-
-    def full_fwd(eps):
+    # params ride as jit ARGUMENTS: closure capture bakes ~470MB of
+    # constants into the HLO and the remote-compile relay 413s.
+    def full_fwd(eps, p):
         with jax.default_matmul_precision("default"):
             return jnp.sum(dpt_forward(p, x + eps, arch))
 
-    def full_fwd_grad(eps):
+    def full_fwd_grad(eps, p):
         def loss(xx):
             with jax.default_matmul_precision("default"):
                 return jnp.sum(dpt_forward(p, xx, arch))
         return jnp.sum(jax.grad(loss)(x + eps))
 
-    def embed_only(eps):
+    def embed_only(eps, p):
         with jax.default_matmul_precision("default"):
             tokens, gh, gw, cnn = _embed(p, x + eps, arch)
             return jnp.sum(tokens) + sum(jnp.sum(c) for c in cnn)
 
-    def embed_vit(eps):
+    def embed_vit(eps, p):
         with jax.default_matmul_precision("default"):
             tokens, gh, gw, cnn = _embed(p, x + eps, arch)
             h = tokens
@@ -69,30 +69,29 @@ def main():
                 h = _vit_layer(p, i, h, arch)
             return jnp.sum(h) + sum(jnp.sum(c) for c in cnn)
 
-    timed("embed (BiT stem + patchify)", embed_only)
-    timed("embed + 12 ViT layers", embed_vit)
-    timed("full fwd", full_fwd)
-    timed("full fwd + input grad", full_fwd_grad)
+    timed("embed (BiT stem + patchify)", embed_only, p)
+    timed("embed + 12 ViT layers", embed_vit, p)
+    timed("full fwd", full_fwd, p)
+    timed("full fwd + input grad", full_fwd_grad, p)
 
     # bf16 params variant
     pb = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
           for k, v in p.items()}
-    xb = x.astype(jnp.bfloat16)
 
-    def full_fwd_bf16(eps):
+    def full_fwd_bf16(eps, pb):
         with jax.default_matmul_precision("default"):
-            return jnp.sum(dpt_forward(pb, (xb + eps).astype(jnp.bfloat16),
+            return jnp.sum(dpt_forward(pb, (x + eps).astype(jnp.bfloat16),
                                        arch).astype(jnp.float32))
 
-    def full_fwd_grad_bf16(eps):
+    def full_fwd_grad_bf16(eps, pb):
         def loss(xx):
             with jax.default_matmul_precision("default"):
                 return jnp.sum(dpt_forward(pb, xx.astype(jnp.bfloat16),
                                            arch).astype(jnp.float32))
         return jnp.sum(jax.grad(loss)(x + eps))
 
-    timed("full fwd (bf16 params+acts)", full_fwd_bf16)
-    timed("full fwd + input grad (bf16)", full_fwd_grad_bf16)
+    timed("full fwd (bf16 params+acts)", full_fwd_bf16, pb)
+    timed("full fwd + input grad (bf16)", full_fwd_grad_bf16, pb)
 
 
 if __name__ == "__main__":
