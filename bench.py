@@ -80,6 +80,7 @@ def _make_inputs(rng):
 def _make_pseudo(rng, cams):
     """PseudoInputs with a DPT-Hybrid-shaped random-weight depth net (the
     reference's exact MiDaS role at 384x512, utils/depth_utils.py:18-45)."""
+    import jax
     import jax.numpy as jnp
 
     from sdpgs_tpu.core.camera import Camera
@@ -100,15 +101,28 @@ def _make_pseudo(rng, cams):
     train_depths = jnp.asarray(
         rng.uniform(1, 8, size=(len(cams), HEIGHT, WIDTH)).astype(np.float32)
     )
+    # The reprojection z-buffer is parameter-independent; the Trainer
+    # precomputes it once per pseudo camera (train/loop.py:_reproj_for), so
+    # the bench does the same outside the timed loop.
+    from sdpgs_tpu.losses import reproject_fused_depth
+
+    K = cams[0].intrinsics_matrix()
+    R_train = jnp.stack([c.view[:3, :3] for c in cams])
+    t_train = jnp.stack([c.view[:3, 3] for c in cams])
+    fused, weight = jax.jit(reproject_fused_depth)(
+        train_depths, K, R_train, t_train, pcam.view[:3, :3], pcam.view[:3, 3]
+    )
     pseudo = PseudoInputs(
         camera=pcam,
         train_depths=train_depths,
-        K=cams[0].intrinsics_matrix(),
-        R_train=jnp.stack([c.view[:3, :3] for c in cams]),
-        t_train=jnp.stack([c.view[:3, 3] for c in cams]),
+        K=K,
+        R_train=R_train,
+        t_train=t_train,
         R_pseudo=pcam.view[:3, :3],
         t_pseudo=pcam.view[:3, 3],
         mono_params=mono.params,
+        reproj_fused=fused,
+        reproj_weight=weight,
     )
     return pseudo, mono
 

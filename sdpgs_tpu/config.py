@@ -42,8 +42,21 @@ class RasterizeConfig:
                                     # (= compaction off, full P*D scatter)
                                     # when they appear.
     max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
+    rank_block_gaussians: int = 256  # Pb: Gaussians per rank-kernel grid
+                                    # step. The kernel is grid-overhead
+                                    # bound at 256 (512 steps x ~8us >> its
+                                    # compute); larger blocks trade a bigger
+                                    # triangular matmul for fewer steps.
+                                    # rank_block_slots scales with Pb/256
+                                    # automatically (same total scatter
+                                    # rows / same drop behavior).
     chunk: int = 32                 # XLA-path compositing chunk (K % chunk == 0)
     chunk_pallas: int = 128         # Pallas kernel chunk (MXU tile; K % 128 == 0)
+    tiles_per_kernel_step: int = 1  # composite kernels: tiles batched into
+                                    # one grid step (amortizes per-step
+                                    # dispatch/DMA overhead across the
+                                    # ~200-tile grids; falls back to the
+                                    # largest divisor of the tile count)
     alpha_min: float = 1.0 / 255.0  # skip threshold (forward.cu:344)
     alpha_max: float = 0.99         # clamp (forward.cu:343)
     transmittance_min: float = 1e-4  # early-stop threshold (forward.cu:347)
@@ -94,6 +107,11 @@ class ModelConfig:
                                    # scale-invariant Pearson terms. MXU pass
                                    # count is governed separately by
                                    # dpt_matmul_precision below.
+    dpt_resize: str = "bicubic"    # depth-net in/out resize: "bicubic" =
+                                   # torch parity with the reference's
+                                   # F.interpolate (depth_utils.py:33-44),
+                                   # run as MXU matmuls; "bilinear" = pre-r3
+                                   # behavior.
     dpt_matmul_precision: str = "default"
                                    # MXU precision for the depth net only.
                                    # The package-wide default is "highest"
@@ -148,6 +166,15 @@ class OptimizationConfig:
     shape_pena: float = 0.001
     scale_pena: float = 0.001
     opa_pena: float = 0.01
+    pseudo_seg_from_train_view: bool = False
+                                   # True = reference-exact segment labels for
+                                   # the pseudo seg-pearson: index the pseudo
+                                   # depth with the TRAIN view's feature
+                                   # render (reference train.py:156), which is
+                                   # geometrically misaligned with the pseudo
+                                   # depth map. False (default) = the aligned
+                                   # reading (pseudo view's own features).
+                                   # See docs/PARITY.md "deliberate deviations".
     start_sample_pseudo: int = 2000
     end_sample_pseudo: int = 5500
     sample_pseudo_interval: int = 1

@@ -15,6 +15,8 @@ from sdpgs_tpu.losses.depth import (  # noqa: F401
     loss_depth_metric,
     loss_depth_smoothness,
     loss_reproject_depth,
+    loss_reproject_from_fused,
+    reproject_fused_depth,
     segment_pearson_loss,
 )
 from sdpgs_tpu.losses.feature import (  # noqa: F401

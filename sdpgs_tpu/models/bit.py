@@ -95,17 +95,56 @@ def _maxpool_same(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
     )
 
 
+def stem_phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a (weight-standardized) [O, C, 7, 7] stride-2 conv kernel
+    into the [O, C*4, 4, 4] stride-1 kernel over 2x2 phase-split inputs
+    (``ops.resize.resize2d_stem_phases``): tap ``i = 2*ay + py`` of phase
+    ``py`` (``i = 7`` does not exist -> zero row)."""
+    O, C = w.shape[:2]
+    parts = []
+    for c in range(C):
+        for py in range(2):
+            for px in range(2):
+                sub = w[:, c, py::2, px::2]
+                parts.append(jnp.pad(
+                    sub, ((0, 0), (0, 4 - sub.shape[1]), (0, 4 - sub.shape[2]))
+                ))
+    return jnp.stack(parts, axis=1)
+
+
+def stem_phase_conv(p, phases: jnp.ndarray, prefix: str = "bit") -> jnp.ndarray:
+    """Embedder 7x7/2 WS conv evaluated from phase-split inputs
+    ([B, C, 2, 2, Hp, Wp] from ``resize2d_stem_phases``) as one dense
+    stride-1 conv — the resized image and its TF-SAME padding never
+    materialize, eliminating the strided data movement that made every
+    direct stem reformulation lose (docs/ROADMAP.md "Stem-conv")."""
+    B, C = phases.shape[:2]
+    w = stem_phase_kernel(_ws_weight(p[f"{prefix}.embedder.convolution.weight"]))
+    x = phases.reshape(B, C * 4, *phases.shape[-2:])
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
 def bit_backbone(
     p: Dict[str, jnp.ndarray],
     pixel_values: jnp.ndarray,
     arch: BitArch = BitArch(),
     prefix: str = "bit",
+    stem_phases: jnp.ndarray = None,
 ) -> List[jnp.ndarray]:
     """[B, 3, H, W] -> feature maps of every stage ([/4, /8, /16] for the
-    3-stage DPT-hybrid configuration)."""
+    3-stage DPT-hybrid configuration).
+
+    ``stem_phases`` ([B, C, 2, 2, Hp, Wp]) replaces ``pixel_values`` for the
+    embedder conv with the fused resize+space-to-depth form."""
     G = arch.num_groups
     # stem: WS conv 7x7/2 + GN+ReLU + dynamic-SAME maxpool 3x3/2
-    x = _ws_conv(p, f"{prefix}.embedder.convolution", pixel_values, 7, 2)
+    if stem_phases is not None:
+        x = stem_phase_conv(p, stem_phases, prefix)
+    else:
+        x = _ws_conv(p, f"{prefix}.embedder.convolution", pixel_values, 7, 2)
     x = _gn(p, f"{prefix}.embedder.norm", x, G)
     x = _maxpool_same(x)
 

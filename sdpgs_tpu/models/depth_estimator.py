@@ -35,6 +35,8 @@ def mono_depth_from_params(
     arch=None,
     dtype: Optional[jnp.dtype] = None,
     matmul_precision: str = "default",
+    resize_method: str = "bicubic",
+    phase_stem: bool = True,
 ) -> MonoDepth:
     """Wrap an in-memory DPT param dict (state-dict names) as a
     :class:`MonoDepth`. Used by :func:`make_mono_depth_fn` (npz from disk),
@@ -45,7 +47,12 @@ def mono_depth_from_params(
     MXU — geometry needs it), but the depth net does NOT: it feeds
     scale-invariant Pearson losses, and single-pass bf16 ("default") runs
     the MXU ~6x faster. Override with "BF16_BF16_F32_X3"/"highest" to trade
-    speed back for accuracy."""
+    speed back for accuracy.
+
+    ``resize_method``: "bicubic" (default) matches the reference's
+    ``F.interpolate(..., mode="bicubic")`` in/out resizes to torch parity
+    (utils/depth_utils.py:33-44), run as MXU matmuls (ops/resize.py);
+    "bilinear" keeps the pre-r3 behavior."""
     import numpy as np
 
     from sdpgs_tpu.models.dpt import DPTArch, _resize_bilinear, dpt_forward
@@ -63,16 +70,44 @@ def mono_depth_from_params(
 
     def apply(params, image: jnp.ndarray) -> jnp.ndarray:
         """[3, H, W] image in [0, 1] -> [H, W] inverse depth (differentiable;
-        reference utils/depth_utils.py:18-45: 384x512 in/out, bicubic there,
-        bilinear here)."""
+        reference utils/depth_utils.py:18-45: 384x512 in/out, bicubic)."""
         H, W = image.shape[1:]
-        x = _resize_bilinear(image[None], 384, 512, align_corners=False)
-        x = (x - 0.5) / 0.5                                # DPT normalization
+        stem_phases = None
+        if resize_method == "bilinear":
+            x = _resize_bilinear(image[None], 384, 512, align_corners=False)
+            x = (x - 0.5) / 0.5                            # DPT normalization
+        elif phase_stem and arch.is_hybrid:
+            # Fused resize + space-to-depth: the BiT embedder's 7x7/2 conv
+            # runs dense over phase tensors; the 384x512 image (and its
+            # strided reads) never materializes. Normalize BEFORE the resize
+            # (affine commutes with it: interpolation rows sum to 1) so the
+            # phase tensors' zero pad rows equal the conv's zero padding.
+            from sdpgs_tpu.ops.resize import resize2d_stem_phases
+
+            norm = (image[None] - 0.5) / 0.5
+            stem_phases = resize2d_stem_phases(norm, 384, 512, resize_method,
+                                               align_corners=False)
+            x = jnp.zeros((1, 3, 384, 512), norm.dtype)    # unused, DCE'd
+        else:
+            from sdpgs_tpu.ops.resize import resize2d
+
+            x = resize2d(image[None], 384, 512, resize_method,
+                         align_corners=False)
+            x = (x - 0.5) / 0.5                            # DPT normalization
         if dtype is not None:
             x = x.astype(dtype)
+            if stem_phases is not None:
+                stem_phases = stem_phases.astype(dtype)
         with jax.default_matmul_precision(matmul_precision):
-            depth = dpt_forward(params, x, arch).astype(jnp.float32)
-        out = _resize_bilinear(depth[:, None], H, W, align_corners=False)
+            depth = dpt_forward(params, x, arch,
+                                stem_phases=stem_phases).astype(jnp.float32)
+        if resize_method == "bilinear":
+            out = _resize_bilinear(depth[:, None], H, W, align_corners=False)
+        else:
+            from sdpgs_tpu.ops.resize import resize2d
+
+            out = resize2d(depth[:, None], H, W, resize_method,
+                           align_corners=False)
         return out[0, 0]
 
     return MonoDepth(apply, params)
@@ -82,6 +117,7 @@ def make_mono_depth_fn(
     weights_path: Optional[str] = None,
     dtype: Optional[jnp.dtype] = None,
     matmul_precision: str = "default",
+    resize_method: str = "bicubic",
 ) -> Optional[MonoDepth]:
     """Load a converted DPT checkpoint (tools/convert_dpt.py) as a
     :class:`MonoDepth`. ``dtype=jnp.bfloat16`` stores/runs the params in
@@ -100,4 +136,5 @@ def make_mono_depth_fn(
 
         arch = arch_from_json_bytes(raw.pop("__arch__"))
     return mono_depth_from_params(raw, arch=arch, dtype=dtype,
-                                  matmul_precision=matmul_precision)
+                                  matmul_precision=matmul_precision,
+                                  resize_method=resize_method)

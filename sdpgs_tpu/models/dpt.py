@@ -170,7 +170,7 @@ def _vit_layer(p, i, x, arch: DPTArch):
     return x + h
 
 
-def _embed(p, x, arch: DPTArch):
+def _embed(p, x, arch: DPTArch, stem_phases=None):
     """[B, 3, H, W] -> tokens [B, N+1, C] (+ CNN features when hybrid); pos
     embeddings interpolated to the actual grid
     (modeling_dpt.py:_resize_pos_embed)."""
@@ -179,7 +179,8 @@ def _embed(p, x, arch: DPTArch):
     if arch.is_hybrid:
         from sdpgs_tpu.models.bit import bit_backbone
 
-        feats = bit_backbone(p, x, arch.bit, prefix="dpt.embeddings.backbone.bit")
+        feats = bit_backbone(p, x, arch.bit, prefix="dpt.embeddings.backbone.bit",
+                             stem_phases=stem_phases)
         cnn_feats = feats[:2]
         feat = jax.lax.conv_general_dilated(
             feats[-1], p["dpt.embeddings.projection.weight"], (1, 1), "VALID",
@@ -215,9 +216,15 @@ def _residual_unit(p, name, x):
 
 
 def dpt_forward(p: Dict[str, jnp.ndarray], pixel_values: jnp.ndarray,
-                arch: DPTArch = DPTArch.large()) -> jnp.ndarray:
-    """[B, 3, H, W] normalized input -> [B, H, W] inverse depth."""
-    tokens, gh, gw, cnn_feats = _embed(p, pixel_values, arch)
+                arch: DPTArch = DPTArch.large(),
+                stem_phases=None) -> jnp.ndarray:
+    """[B, 3, H, W] normalized input -> [B, H, W] inverse depth.
+
+    ``stem_phases`` (hybrid only): phase-split form of ``pixel_values``
+    (``ops.resize.resize2d_stem_phases``) feeding the BiT embedder conv as a
+    dense stride-1 conv; ``pixel_values`` is then unused (DCE'd by XLA)."""
+    tokens, gh, gw, cnn_feats = _embed(p, pixel_values, arch,
+                                       stem_phases=stem_phases)
 
     # Hybrid: the two highest-res neck inputs come from the CNN stem, the
     # rest from ViT hooks backbone_out_indices[2:] (modeling_dpt.py:1047-1058)

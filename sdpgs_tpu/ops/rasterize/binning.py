@@ -156,10 +156,11 @@ def bin_gaussians(
     n_local = num_tiles if tile_range is None else tile_range[1]
 
     # --- 3. within-tile rank ------------------------------------------------
+    Pb = cfg.rank_block_gaussians
     use_kernel = (
         cfg.use_rank_kernel
         and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
-        and P % 256 == 0
+        and P % Pb == 0
     )
     # Block compaction only pays off (and only stays drop-free) when entry
     # counts per 256-Gaussian block stay well under S — true for the <=1024
@@ -173,10 +174,11 @@ def bin_gaussians(
 
         slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
             packed_s, tid, order, n_local, tiles_x, K,
-            S=cfg.rank_block_slots,
+            S=cfg.rank_block_slots * (Pb // 256),
             t0=None if tile_range is None else t0,
             grouped=cfg.rank_block_grouped,
             n_valid=n_valid,
+            Pb=Pb,
         )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
@@ -198,7 +200,7 @@ def bin_gaussians(
 
         rank, counts_k = compute_ranks_pallas(
             packed_s, tid, n_local, tiles_x, n_valid=n_valid,
-            t0=None if tile_range is None else t0,
+            t0=None if tile_range is None else t0, Pb=Pb,
         )
         overflow = jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32)
         tile_counts = jnp.minimum(counts_k, K)

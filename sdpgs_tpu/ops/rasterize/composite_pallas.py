@@ -80,146 +80,161 @@ def _tri_dot(L, X, bf16: bool):
 
 def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
                 out_ref, tfin_ref, tres_ref, dres_ref, nproc_ref,
-                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int):
-    px = px_ref[0, 0, :]
-    py = py_ref[0, 0, :]
+                *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int,
+                tps: int):
+    # ``tps`` tiles per grid step: the per-tile work is tiny relative to the
+    # fixed grid-step cost (DMA setup + dispatch), so batching tiles into one
+    # step amortizes it; each tile keeps its own early-exit while_loop.
     out_ref[...] = jnp.zeros_like(out_ref)
     tres_ref[...] = jnp.ones_like(tres_ref)
     dres_ref[...] = jnp.zeros_like(dres_ref)
-    # Only the chunks that actually hold entries for this tile are visited
-    # (binning reports per-tile live counts; sentinel slots past the count
-    # are all-dead and would be pure waste).
-    nch = jnp.minimum(pl.cdiv(counts_ref[0, pl.program_id(0)], G), nchunk)
     # Strict-lower-triangular ones: *exclusive* cumprod via matmul in log
     # space — the exclusive form gives t_excl directly (no [G, npix]
     # division) and the inclusive value back as one multiply.
     Ls = _tri(G, strict=True)
 
-    def cond(carry):
-        c, t, done = carry
-        return (c < nch) & jnp.logical_not(jnp.all(done > 0.5))
+    for ti in range(tps):
+        tile = pl.program_id(0) * tps + ti
+        px = px_ref[ti, 0, :]
+        py = py_ref[ti, 0, :]
+        # Only the chunks that actually hold entries for this tile are
+        # visited (binning reports per-tile live counts; sentinel slots past
+        # the count are all-dead and would be pure waste).
+        nch = jnp.minimum(pl.cdiv(counts_ref[0, tile], G), nchunk)
 
-    def body(carry):
-        c, t, done = carry
-        g0 = pl.multiple_of(c * G, 128)
-        tres_ref[0, c, :] = t
-        dres_ref[0, c, :] = done
-        xs = xy_ref[0, 0, pl.ds(g0, G)]
-        ys = xy_ref[0, 1, pl.ds(g0, G)]
-        ca = con_ref[0, 0, pl.ds(g0, G)]
-        cb = con_ref[0, 1, pl.ds(g0, G)]
-        cc = con_ref[0, 2, pl.ds(g0, G)]
-        op = opa_ref[0, 0, pl.ds(g0, G)]
-        alpha, _, _, _, _ = _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg)
+        def cond(carry):
+            c, t, done = carry
+            return (c < nch) & jnp.logical_not(jnp.all(done > 0.5))
 
-        logs = jnp.log1p(-alpha)                                   # [G, npix]
-        t_excl = t[None, :] * jnp.exp(
-            jnp.dot(Ls, logs, preferred_element_type=jnp.float32)
+        def body(carry):
+            c, t, done = carry
+            g0 = pl.multiple_of(c * G, 128)
+            tres_ref[ti, c, :] = t
+            dres_ref[ti, c, :] = done
+            xs = xy_ref[ti, 0, pl.ds(g0, G)]
+            ys = xy_ref[ti, 1, pl.ds(g0, G)]
+            ca = con_ref[ti, 0, pl.ds(g0, G)]
+            cb = con_ref[ti, 1, pl.ds(g0, G)]
+            cc = con_ref[ti, 2, pl.ds(g0, G)]
+            op = opa_ref[ti, 0, pl.ds(g0, G)]
+            alpha, _, _, _, _ = _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg)
+
+            logs = jnp.log1p(-alpha)                               # [G, npix]
+            t_excl = t[None, :] * jnp.exp(
+                jnp.dot(Ls, logs, preferred_element_type=jnp.float32)
+            )
+            cum = t_excl * (1.0 - alpha)
+            active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
+            alpha_eff = jnp.where(active, alpha, 0.0)
+            w = alpha_eff * t_excl                                 # [G, npix]
+
+            vals = val_ref[ti, :, pl.ds(g0, G)]                    # [C, G]
+            out_ref[ti, :, :] += jnp.dot(vals, w, preferred_element_type=jnp.float32)
+
+            # log1p(-alpha_eff) == where(active, logs, 0): reuse logs
+            # instead of a second [G, npix] log1p pass (bit-identical).
+            t_new = t * jnp.exp(jnp.sum(jnp.where(active, logs, 0.0), axis=0))
+            done_new = jnp.maximum(
+                done,
+                jnp.any(cum < cfg.transmittance_min, axis=0).astype(jnp.float32),
+            )
+            return c + 1, t_new, done_new
+
+        c_fin, t_fin, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.ones((npix,), jnp.float32),
+             jnp.zeros((npix,), jnp.float32)),
         )
-        cum = t_excl * (1.0 - alpha)
-        active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
-        alpha_eff = jnp.where(active, alpha, 0.0)
-        w = alpha_eff * t_excl                                     # [G, npix]
-
-        vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
-        out_ref[0, :, :] += jnp.dot(vals, w, preferred_element_type=jnp.float32)
-
-        # log1p(-alpha_eff) == where(active, logs, 0): reuse logs instead of
-        # a second [G, npix] log1p pass (bit-identical).
-        t_new = t * jnp.exp(jnp.sum(jnp.where(active, logs, 0.0), axis=0))
-        done_new = jnp.maximum(
-            done, jnp.any(cum < cfg.transmittance_min, axis=0).astype(jnp.float32)
-        )
-        return c + 1, t_new, done_new
-
-    c_fin, t_fin, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.ones((npix,), jnp.float32), jnp.zeros((npix,), jnp.float32)),
-    )
-    tfin_ref[0, 0, :] = t_fin
-    nproc_ref[0, pl.program_id(0)] = c_fin
+        tfin_ref[ti, 0, :] = t_fin
+        nproc_ref[0, tile] = c_fin
 
 
 def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
                 tres_ref, dres_ref, nproc_ref, tfin_ref, gval_ref, gtfin_ref,
                 dxy_ref, dcon_ref, dopa_ref, dval_ref,
                 *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int,
-                bwd_bf16: bool):
-    px = px_ref[0, 0, :]
-    py = py_ref[0, 0, :]
+                bwd_bf16: bool, tps: int):
     dxy_ref[...] = jnp.zeros_like(dxy_ref)
     dcon_ref[...] = jnp.zeros_like(dcon_ref)
     dopa_ref[...] = jnp.zeros_like(dopa_ref)
     dval_ref[...] = jnp.zeros_like(dval_ref)
 
-    g = gval_ref[0, :, :]                                          # [C, npix]
-    s0 = tfin_ref[0, 0, :] * gtfin_ref[0, 0, :]                          # [npix]
-    nproc = nproc_ref[0, pl.program_id(0)]
     tri_dtype = jnp.bfloat16 if bwd_bf16 else jnp.float32
     Ls = _tri(G, strict=True, dtype=tri_dtype)
     Ut = Ls.T  # strict upper
 
-    def body(k, s_carry):
-        c = nproc - 1 - k
-        g0 = pl.multiple_of(c * G, 128)
-        t = tres_ref[0, c, :]
-        done = dres_ref[0, c, :]
-        xs = xy_ref[0, 0, pl.ds(g0, G)]
-        ys = xy_ref[0, 1, pl.ds(g0, G)]
-        ca = con_ref[0, 0, pl.ds(g0, G)]
-        cb = con_ref[0, 1, pl.ds(g0, G)]
-        cc = con_ref[0, 2, pl.ds(g0, G)]
-        op = opa_ref[0, 0, pl.ds(g0, G)]
-        alpha, not_clamped, dx, dy, alpha_raw = _alpha_and_masks(
-            xs, ys, ca, cb, cc, op, px, py, cfg
-        )
+    for ti in range(tps):
+        tile = pl.program_id(0) * tps + ti
+        px = px_ref[ti, 0, :]
+        py = py_ref[ti, 0, :]
+        g = gval_ref[ti, :, :]                                     # [C, npix]
+        s0 = tfin_ref[ti, 0, :] * gtfin_ref[ti, 0, :]              # [npix]
+        nproc = nproc_ref[0, tile]
 
-        logs = jnp.log1p(-alpha)
-        t_excl = t[None, :] * jnp.exp(_tri_dot(Ls, logs, bwd_bf16))
-        cum = t_excl * (1.0 - alpha)
-        active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
-        alpha_eff = jnp.where(active, alpha, 0.0)
-        w = alpha_eff * t_excl
+        def body(k, s_carry):
+            c = nproc - 1 - k
+            g0 = pl.multiple_of(c * G, 128)
+            t = tres_ref[ti, c, :]
+            done = dres_ref[ti, c, :]
+            xs = xy_ref[ti, 0, pl.ds(g0, G)]
+            ys = xy_ref[ti, 1, pl.ds(g0, G)]
+            ca = con_ref[ti, 0, pl.ds(g0, G)]
+            cb = con_ref[ti, 1, pl.ds(g0, G)]
+            cc = con_ref[ti, 2, pl.ds(g0, G)]
+            op = opa_ref[ti, 0, pl.ds(g0, G)]
+            alpha, not_clamped, dx, dy, alpha_raw = _alpha_and_masks(
+                xs, ys, ca, cb, cc, op, px, py, cfg
+            )
 
-        vals = val_ref[0, :, pl.ds(g0, G)]                         # [C, G]
-        vg = jnp.dot(vals.T, g, preferred_element_type=jnp.float32)  # [G, npix]
-        wvg = w * vg
-        suffix = _tri_dot(Ut, wvg, bwd_bf16)
-        S = suffix + s_carry[None, :]
-        d_alpha = jnp.where(active, t_excl * vg - S / (1.0 - alpha), 0.0)
+            logs = jnp.log1p(-alpha)
+            t_excl = t[None, :] * jnp.exp(_tri_dot(Ls, logs, bwd_bf16))
+            cum = t_excl * (1.0 - alpha)
+            active = (cum >= cfg.transmittance_min) & (done[None, :] < 0.5)
+            alpha_eff = jnp.where(active, alpha, 0.0)
+            w = alpha_eff * t_excl
 
-        # d vals: [C, G] = g @ w^T
-        dval_ref[0, :, pl.ds(g0, G)] = jnp.dot(
-            g, w.T, preferred_element_type=jnp.float32
-        )
+            vals = val_ref[ti, :, pl.ds(g0, G)]                    # [C, G]
+            vg = jnp.dot(vals.T, g, preferred_element_type=jnp.float32)  # [G, npix]
+            wvg = w * vg
+            suffix = _tri_dot(Ut, wvg, bwd_bf16)
+            S = suffix + s_carry[None, :]
+            d_alpha = jnp.where(active, t_excl * vg - S / (1.0 - alpha), 0.0)
 
-        # alpha = min(0.99, op * exp(power)), masked.
-        # exp(power) is not recomputed: exp(power) = alpha_raw / op, and with
-        # the division hoisted out of the sum the [G, npix] transcendental
-        # becomes one [G] reciprocal. alpha_raw can overflow to inf on dead
-        # sentinel entries (power >> 0), so the product is masked *inside*
-        # the where — d_eff * inf would be 0 * inf = NaN otherwise.
-        d_eff = jnp.where(not_clamped, d_alpha, 0.0)
-        d_op = jnp.sum(jnp.where(not_clamped, d_alpha * alpha_raw, 0.0), axis=1)  # [G]
-        dopa_ref[0, 0, pl.ds(g0, G)] = jnp.where(op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0)
-        # Six reductions share the dx*d_pow / dy*d_pow products; constant
-        # scales are applied after the [G, npix] -> [G] sums.
-        d_pow = d_eff * alpha                                      # [G, npix]
-        dxp = dx * d_pow
-        dyp = dy * d_pow
-        dcon_ref[0, 0, pl.ds(g0, G)] = -0.5 * jnp.sum(dx * dxp, axis=1)
-        dcon_ref[0, 1, pl.ds(g0, G)] = -jnp.sum(dy * dxp, axis=1)
-        dcon_ref[0, 2, pl.ds(g0, G)] = -0.5 * jnp.sum(dy * dyp, axis=1)
-        dxy_ref[0, 0, pl.ds(g0, G)] = -(
-            ca * jnp.sum(dxp, axis=1) + cb * jnp.sum(dyp, axis=1)
-        )
-        dxy_ref[0, 1, pl.ds(g0, G)] = -(
-            cc * jnp.sum(dyp, axis=1) + cb * jnp.sum(dxp, axis=1)
-        )
+            # d vals: [C, G] = g @ w^T
+            dval_ref[ti, :, pl.ds(g0, G)] = jnp.dot(
+                g, w.T, preferred_element_type=jnp.float32
+            )
 
-        return s_carry + jnp.sum(wvg, axis=0)
+            # alpha = min(0.99, op * exp(power)), masked.
+            # exp(power) is not recomputed: exp(power) = alpha_raw / op, and
+            # with the division hoisted out of the sum the [G, npix]
+            # transcendental becomes one [G] reciprocal. alpha_raw can
+            # overflow to inf on dead sentinel entries (power >> 0), so the
+            # product is masked *inside* the where — d_eff * inf would be
+            # 0 * inf = NaN otherwise.
+            d_eff = jnp.where(not_clamped, d_alpha, 0.0)
+            d_op = jnp.sum(jnp.where(not_clamped, d_alpha * alpha_raw, 0.0), axis=1)
+            dopa_ref[ti, 0, pl.ds(g0, G)] = jnp.where(
+                op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0
+            )
+            # Six reductions share the dx*d_pow / dy*d_pow products; constant
+            # scales are applied after the [G, npix] -> [G] sums.
+            d_pow = d_eff * alpha                                  # [G, npix]
+            dxp = dx * d_pow
+            dyp = dy * d_pow
+            dcon_ref[ti, 0, pl.ds(g0, G)] = -0.5 * jnp.sum(dx * dxp, axis=1)
+            dcon_ref[ti, 1, pl.ds(g0, G)] = -jnp.sum(dy * dxp, axis=1)
+            dcon_ref[ti, 2, pl.ds(g0, G)] = -0.5 * jnp.sum(dy * dyp, axis=1)
+            dxy_ref[ti, 0, pl.ds(g0, G)] = -(
+                ca * jnp.sum(dxp, axis=1) + cb * jnp.sum(dyp, axis=1)
+            )
+            dxy_ref[ti, 1, pl.ds(g0, G)] = -(
+                cc * jnp.sum(dyp, axis=1) + cb * jnp.sum(dxp, axis=1)
+            )
 
-    jax.lax.fori_loop(0, nproc, body, s0)
+            return s_carry + jnp.sum(wvg, axis=0)
+
+        jax.lax.fori_loop(0, nproc, body, s0)
 
 
 def _interpret() -> bool:
@@ -235,13 +250,23 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
     assert K % G == 0, (K, G)
     nchunk = K // G
 
+    # Tiles per grid step: per-step overhead (DMA setup + dispatch) is a
+    # large fraction of the per-tile cost at bench shapes, so batch tiles
+    # into each step. Largest configured tps that divides the grid.
+    tps = 1
+    for cand in range(min(cfg.tiles_per_kernel_step, T), 0, -1):
+        if T % cand == 0:
+            tps = cand
+            break
+
     tile_block = lambda *s: pl.BlockSpec(
-        (1,) + s, lambda i: (i,) + (0,) * len(s), memory_space=pltpu.VMEM
+        (tps,) + s, lambda i: (i,) + (0,) * len(s), memory_space=pltpu.VMEM
     )
 
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C),
-        grid=(T,),
+        functools.partial(_fwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix,
+                          C=C, tps=tps),
+        grid=(T // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile counts
             tile_block(2, K),      # xy
@@ -277,8 +302,8 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
     bwd_bf16 = cfg.bwd_bf16 and not _interpret()
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, nchunk=nchunk, G=G, npix=npix, C=C,
-                          bwd_bf16=bwd_bf16),
-        grid=(T,),
+                          bwd_bf16=bwd_bf16, tps=tps),
+        grid=(T // tps,),
         in_specs=[
             tile_block(2, K),
             tile_block(3, K),

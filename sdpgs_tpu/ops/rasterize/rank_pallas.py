@@ -105,8 +105,7 @@ def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_rank_call(P: int, D: int, num_tiles_padded: int, Tc: int,
-                    tiles_x: int, interpret: bool):
-    Pb = 256
+                    tiles_x: int, interpret: bool, Pb: int = 256):
     assert P % Pb == 0 and num_tiles_padded % Tc == 0
     nb = P // Pb
     nc = num_tiles_padded // Tc
@@ -166,6 +165,7 @@ def compute_ranks_pallas(
     Tc: int | None = None,
     n_valid: jnp.ndarray | None = None,
     t0: jnp.ndarray | None = None,
+    Pb: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (rank [P, D] i32, counts [num_tiles] i32).
 
@@ -184,10 +184,10 @@ def compute_ranks_pallas(
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x,
-        jax.default_backend() != "tpu",
+        jax.default_backend() != "tpu", Pb=Pb,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
-    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
+    scalars = jnp.stack([_nb_valid(n_valid, P, Pb)[0], t0v])
     rank, counts = call(scalars, packed_sorted[None], tid[None])
     return rank[0], counts[0, :num_tiles]
 
@@ -380,8 +380,7 @@ def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
-                            grouped: bool, interpret: bool):
-    Pb = 256
+                            grouped: bool, interpret: bool, Pb: int = 256):
     assert P % Pb == 0 and num_tiles_padded % Tc == 0
     nb = P // Pb
     nc = num_tiles_padded // Tc
@@ -448,6 +447,7 @@ def compute_compact_entries_pallas(
     t0: jnp.ndarray | None = None,
     grouped: bool = True,
     n_valid: jnp.ndarray | None = None,
+    Pb: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32).
@@ -465,10 +465,10 @@ def compute_compact_entries_pallas(
     pad_tiles = (-num_tiles) % Tc
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
-        grouped, jax.default_backend() != "tpu",
+        grouped, jax.default_backend() != "tpu", Pb=Pb,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
-    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
+    scalars = jnp.stack([_nb_valid(n_valid, P, Pb)[0], t0v])
     outs = call(scalars, packed_sorted[None], tid[None], gid_sorted[None])
     ng = len(_group_layout(D, S, grouped)[0])
     slot_parts = outs[1:1 + ng]

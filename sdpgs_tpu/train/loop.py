@@ -68,6 +68,7 @@ class Trainer:
                 cfg.model.dpt_weights,
                 dtype=jnp.bfloat16 if cfg.model.dpt_bf16 else None,
                 matmul_precision=cfg.model.dpt_matmul_precision,
+                resize_method=cfg.model.dpt_resize,
             )
         if isinstance(mono_depth_fn, MonoDepth):
             self.mono_depth_fn = mono_depth_fn.apply
@@ -99,6 +100,8 @@ class Trainer:
         # itself at TPU speeds. views_per_batch > 1 turns on the TPU-side
         # view-batch data parallelism the reference lacks (SURVEY §2.3).
         self._batch_cache: Dict[tuple, ViewBatch] = {}
+        self._reproj_cache: Dict[int, tuple] = {}
+        self._reproj_fn = None
         # static pseudo-branch inputs
         tc = self.scene.train_cameras
         self._train_depths = jnp.asarray(np.stack(
@@ -141,6 +144,22 @@ class Trainer:
             self._pseudo_stack = list(range(len(self.scene.pseudo_poses)))
         i = self._rng.integers(0, len(self._pseudo_stack))
         return self._pseudo_stack.pop(int(i))
+
+    def _reproj_for(self, pseudo_idx: int, cam):
+        """Precomputed reprojection z-buffer for one pseudo camera
+        (losses.reproject_fused_depth): parameter-independent, so it is
+        computed once per camera (lazy, jitted) and reused for every step
+        that samples it — the in-step warp cost ~3.8 ms/step on v5e."""
+        if pseudo_idx not in self._reproj_cache:
+            if self._reproj_fn is None:
+                from sdpgs_tpu.losses import reproject_fused_depth
+
+                self._reproj_fn = jax.jit(reproject_fused_depth)
+            self._reproj_cache[pseudo_idx] = self._reproj_fn(
+                self._train_depths, self._K, self._R_train, self._t_train,
+                cam.view[:3, :3], cam.view[:3, 3],
+            )
+        return self._reproj_cache[pseudo_idx]
 
     # ---- events --------------------------------------------------------
     def _maybe_densify(self, iteration: int):
@@ -281,7 +300,9 @@ class Trainer:
             batch = self._next_batch()
             step = self._step_fn(sh_degree, in_pseudo)
             if in_pseudo:
-                cam, R, T = self.scene.pseudo_camera(self._next_pseudo())
+                pidx = self._next_pseudo()
+                cam, R, T = self.scene.pseudo_camera(pidx)
+                fused, weight = self._reproj_for(pidx, cam)
                 pseudo = PseudoInputs(
                     camera=cam,
                     train_depths=self._train_depths,
@@ -291,6 +312,8 @@ class Trainer:
                     R_pseudo=cam.view[:3, :3],
                     t_pseudo=cam.view[:3, 3],
                     mono_params=self.mono_params,
+                    reproj_fused=fused,
+                    reproj_weight=weight,
                 )
                 self.state, metrics = step(
                     self.state, batch, self.prototypes, self.bg,

@@ -74,6 +74,12 @@ class PseudoInputs(NamedTuple):
     # Depth-net params pytree, passed as a jit ARGUMENT (a closure-captured
     # DPT-Hybrid would bake ~470MB of constants into the HLO).
     mono_params: object = ()
+    # Precomputed reprojection z-buffer (losses.reproject_fused_depth):
+    # parameter-independent, so the trainer computes it ONCE per pseudo
+    # camera instead of re-warping every step (~3.8 ms/step on v5e). When
+    # None the warp runs inside the step (reference-faithful fallback).
+    reproj_fused: Optional[jnp.ndarray] = None    # [H, W]
+    reproj_weight: Optional[jnp.ndarray] = None   # [H, W] 0/1
 
 
 def _render_view(g, cam, offset, cfg: TrainConfig, sh_degree: int, bg,
@@ -120,16 +126,18 @@ def _view_losses_from_out(out, gt_img, mono, gt_feat, seg, protos,
 
 
 def _pseudo_losses(out, pseudo: PseudoInputs, protos, cfg: TrainConfig,
-                   step, mono_depth_fn: Optional[Callable]):
+                   step, mono_depth_fn: Optional[Callable],
+                   train_feature=None):
     """Pseudo-view regularization terms (train.py:138-188), computed from an
-    already-rendered pseudo view (the render rides in the same batched vmap
-    as the train views).
+    already-rendered pseudo view (rendered through the same ``_render_view``
+    path as the train views but UNVMAPPED — see make_train_step).
 
-    Segment labels come from the pseudo view's own rendered features; the
-    reference indexes the pseudo depth with labels from the *train* view's
-    feature render (train.py:156 ``render_pkg["feature"]``, not
-    ``render_pkg_pseudo``) — geometrically misaligned; we use the aligned
-    reading."""
+    Segment labels come from the pseudo view's own rendered features by
+    default; the reference indexes the pseudo depth with labels from the
+    *train* view's feature render (train.py:156 ``render_pkg["feature"]``,
+    not ``render_pkg_pseudo``) — geometrically misaligned, but available for
+    real-data A/B via ``cfg.optim.pseudo_seg_from_train_view`` (pass the
+    train view's [3, H, W] feature image as ``train_feature``)."""
     opt = cfg.optim
     it = step.astype(jnp.float32)
     loss_scale = jnp.clip((it - opt.start_sample_pseudo) / 500.0, 0.0, 1.0)
@@ -144,8 +152,12 @@ def _pseudo_losses(out, pseudo: PseudoInputs, protos, cfg: TrainConfig,
         pl = 1.0 - pearson_corrcoef(depth, -mono)
         total = total + loss_scale * opt.depth_pseudo_weight * jnp.nan_to_num(pl)
 
+        if cfg.optim.pseudo_seg_from_train_view and train_feature is not None:
+            label_feat = train_feature                     # reference train.py:156
+        else:
+            label_feat = out.feature.transpose(2, 0, 1)    # aligned reading
         labels = segment_cluster_assign(
-            jax.lax.stop_gradient(out.feature.transpose(2, 0, 1)), protos
+            jax.lax.stop_gradient(label_feat), protos
         )
         seg_loss = segment_pearson_loss(depth, mono, labels, protos.shape[0])
         seg_scale = jnp.clip((it - opt.start_sample_pseudo) / 8000.0, 0.0, 1.0)
@@ -155,10 +167,17 @@ def _pseudo_losses(out, pseudo: PseudoInputs, protos, cfg: TrainConfig,
             0.0,
         )
 
-    reproj = loss_reproject_depth(
-        depth, pseudo.train_depths, pseudo.K, pseudo.R_train, pseudo.t_train,
-        pseudo.R_pseudo, pseudo.t_pseudo,
-    )
+    if pseudo.reproj_fused is not None:
+        from sdpgs_tpu.losses import loss_reproject_from_fused
+
+        reproj = loss_reproject_from_fused(
+            depth, pseudo.reproj_fused, pseudo.reproj_weight
+        )
+    else:
+        reproj = loss_reproject_depth(
+            depth, pseudo.train_depths, pseudo.K, pseudo.R_train,
+            pseudo.t_train, pseudo.R_pseudo, pseudo.t_pseudo,
+        )
     total = total + 0.5 * loss_scale * opt.depth_pseudo_weight * jnp.nan_to_num(reproj)
     return total
 
@@ -217,7 +236,8 @@ def make_train_step(
                     tile_mesh=tile_mesh,
                 )
                 loss = loss + _pseudo_losses(
-                    out_ps, pseudo, prototypes, cfg, state.step, mono_depth_fn
+                    out_ps, pseudo, prototypes, cfg, state.step, mono_depth_fn,
+                    train_feature=outs.feature[0].transpose(2, 0, 1),
                 )
             return loss, (ll1, images, outs)
 

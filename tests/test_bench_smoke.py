@@ -6,6 +6,7 @@ import json
 import pytest
 
 
+@pytest.mark.slow
 def test_bench_both_flavors_tiny(capsys):
     import bench
     from sdpgs_tpu.models.dpt import DPTArch

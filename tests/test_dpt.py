@@ -42,6 +42,7 @@ def test_dpt_matches_torch_random_weights():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_dpt_nonsquare_pos_interp():
     """Non-square input exercises position-embedding interpolation (the
     torch reference cannot reshape non-square grids in this path, so this
@@ -164,6 +165,7 @@ def test_random_params_shapes_match_torch_tiny_hybrid():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_mono_depth_from_random_params_runs():
     """mono_depth_from_params on random weights: the full estimate_depth
     path (resize 384x512, normalize, forward, resize back) runs and is

@@ -180,3 +180,31 @@ def test_ssim_skimage_matches(rng):
     )
     ours = float(ssim_skimage(jnp.asarray(img1), jnp.asarray(img2)))
     assert ours == pytest.approx(float(ref), abs=2e-3)
+
+
+def test_reproject_precompute_matches_inline(rng):
+    """The trainer's precomputed reprojection route (reproject_fused_depth +
+    loss_reproject_from_fused) must equal the one-call loss_reproject_depth
+    (which the step falls back to when no precompute is given)."""
+    from sdpgs_tpu.losses import (
+        loss_reproject_depth,
+        loss_reproject_from_fused,
+        reproject_fused_depth,
+    )
+
+    V, H, W = 3, 24, 32
+    depths = jnp.asarray(rng.uniform(2, 5, size=(V, H, W)).astype(np.float32))
+    rendered = jnp.asarray(rng.uniform(2, 5, size=(H, W)).astype(np.float32))
+    K = jnp.asarray([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], jnp.float32)
+    R_train = jnp.stack([jnp.eye(3)] * V)
+    t_train = jnp.asarray(rng.normal(size=(V, 3)).astype(np.float32) * 0.05)
+    R_pseudo = jnp.eye(3)
+    t_pseudo = jnp.asarray([0.02, -0.01, 0.0], jnp.float32)
+
+    ref = loss_reproject_depth(rendered, depths, K, R_train, t_train,
+                               R_pseudo, t_pseudo)
+    fused, w = reproject_fused_depth(depths, K, R_train, t_train,
+                                     R_pseudo, t_pseudo)
+    assert float(jnp.sum(w)) > 0  # some consistent pixels exist
+    got = loss_reproject_from_fused(rendered, fused, w)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)

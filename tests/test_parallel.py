@@ -60,6 +60,7 @@ def test_sharded_train_step(rng):
     assert "gauss" in getattr(sh, "spec", ())[0:1] or sh.is_fully_replicated is False
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -242,9 +243,10 @@ def test_tile_sharded_train_step_matches(rng, pallas):
     )
 
 
+@pytest.mark.slow
 def test_tile_sharded_pseudo_step_matches(rng):
-    """The pseudo-window step (V train views + pseudo view batched into one
-    render vmap, DPT in the loss) composes with tile-partitioned
+    """The pseudo-window step (V train views vmapped + a separate unvmapped
+    pseudo render, DPT in the loss) composes with tile-partitioned
     rasterization: sharded == single-device."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -345,3 +345,36 @@ def test_rect_packing_8bit_roundtrip_and_big_grid():
         t = int(cy // 16) * tiles_x + int(cx // 16)
         assert i in np.asarray(bins.tile_index[t]), (i, t)
     assert int(bins.overflow) == 0
+
+
+def test_kernel_binning_matches_scan_at_larger_pb(rng):
+    """rank_block_gaussians=512 (fewer, bigger grid steps — the TPU
+    grid-overhead lever) reproduces the scan path's table exactly."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    P = 1024
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+    )
+    W, H = 160, 128
+    base = dict(tile=16, max_per_tile=64, max_tiles_per_gaussian=6, chunk=32,
+                rank_block_grouped=False)
+    ref = bin_gaussians(
+        prep, W, H, RasterizeConfig(**base, use_rank_kernel=False))
+    for Pb in (256, 512):
+        cfg = RasterizeConfig(**base, interpret_kernels=True,
+                              rank_block_slots=2048, rank_block_gaussians=Pb)
+        got = bin_gaussians(prep, W, H, cfg)
+        assert int(got.overflow) == int(ref.overflow) == 0, Pb
+        np.testing.assert_array_equal(np.asarray(got.tile_index),
+                                      np.asarray(ref.tile_index), err_msg=str(Pb))
+        np.testing.assert_array_equal(np.asarray(got.tile_counts),
+                                      np.asarray(ref.tile_counts))

@@ -135,3 +135,37 @@ def test_pseudo_step_with_mono_params(rng):
     )
     state, m = step(state, batch, protos, bg, jnp.float32(1.0), pseudo)
     assert np.isfinite(float(m.loss))
+
+
+@pytest.mark.parametrize("from_train_view", [False, True])
+def test_pseudo_seg_label_source_flag(rng, from_train_view):
+    """Both segment-label sources run: the aligned default (pseudo view's own
+    feature render) and the reference-exact train-view labels
+    (cfg.optim.pseudo_seg_from_train_view, reference train.py:156)."""
+    g, batch, cams, cfg = synthetic_batch(rng)
+    cfg.optim.pseudo_seg_from_train_view = from_train_view
+    state = TrainState.create(g)
+    state = state.replace(step=jnp.int32(4500))  # seg-pearson active (>4000)
+
+    def mono_apply(params, image):
+        return jnp.mean(image, axis=0) * params["w"] + params["b"]
+
+    step = make_train_step(cfg, sh_degree=0, with_pseudo=True,
+                           mono_depth_fn=mono_apply)
+    protos = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+    pseudo_cam = Camera.create(R=np.eye(3), T=np.array([0.1, 0.05, 0.0]),
+                               fovx=0.9, fovy=0.7, width=48, height=32)
+    pseudo = PseudoInputs(
+        camera=pseudo_cam,
+        train_depths=batch.depth_mono,
+        K=pseudo_cam.intrinsics_matrix(),
+        R_train=jnp.stack([c.view[:3, :3] for c in cams]),
+        t_train=jnp.stack([c.view[:3, 3] for c in cams]),
+        R_pseudo=pseudo_cam.view[:3, :3],
+        t_pseudo=pseudo_cam.view[:3, 3],
+        mono_params={"w": jnp.float32(2.0), "b": jnp.float32(0.1)},
+    )
+    state, m = step(state, batch, protos, bg, jnp.float32(1.0), pseudo)
+    assert np.isfinite(float(m.loss))
+    assert np.all(np.isfinite(np.asarray(state.gaussians.xyz)))

@@ -76,6 +76,7 @@ class FakeScene:
         pass
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(rng):
     cfg = TrainConfig()
     cfg.raster = RasterizeConfig(tile=16, max_per_tile=128, max_tiles_per_gaussian=8,
