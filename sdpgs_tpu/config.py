@@ -42,21 +42,28 @@ class RasterizeConfig:
                                     # (= compaction off, full P*D scatter)
                                     # when they appear.
     max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
-    rank_block_gaussians: int = 256  # Pb: Gaussians per rank-kernel grid
-                                    # step. The kernel is grid-overhead
-                                    # bound at 256 (512 steps x ~8us >> its
-                                    # compute); larger blocks trade a bigger
-                                    # triangular matmul for fewer steps.
-                                    # rank_block_slots scales with Pb/256
-                                    # automatically (same total scatter
-                                    # rows / same drop behavior).
+    rank_kernel_lanes: bool = True  # lane-major compact rank kernel:
+                                    # per-Gaussian vectors live on lanes so
+                                    # the ~30 sublane<->lane relayouts per
+                                    # block of the row-major kernel (its
+                                    # dominant cost, r3 measurement) vanish;
+                                    # also drops the [P, D] tid kernel input
+                                    # (rects re-enumerated in-kernel).
+    rank_block_gaussians: int = 1024  # Pb: Gaussians per rank-kernel grid
+                                    # step, processed as serial 256-wide
+                                    # sub-blocks (so compute, compaction
+                                    # layout, S semantics, and drop behavior
+                                    # are IDENTICAL for every Pb); clamped
+                                    # to the capacity. Measured flat 256..
+                                    # 1024, worse at 2048 (r3).
     chunk: int = 32                 # XLA-path compositing chunk (K % chunk == 0)
     chunk_pallas: int = 128         # Pallas kernel chunk (MXU tile; K % 128 == 0)
-    tiles_per_kernel_step: int = 1  # composite kernels: tiles batched into
-                                    # one grid step (amortizes per-step
-                                    # dispatch/DMA overhead across the
-                                    # ~200-tile grids; falls back to the
-                                    # largest divisor of the tile count)
+    tiles_per_kernel_step: int = 4  # composite kernels: tiles batched into
+                                    # one grid step (falls back to the
+                                    # largest divisor of the tile count).
+                                    # Measured within noise of 1 on v5e
+                                    # (dispatch overhead is small) but the
+                                    # best-measured full-step combo used 4.
     alpha_min: float = 1.0 / 255.0  # skip threshold (forward.cu:344)
     alpha_max: float = 0.99         # clamp (forward.cu:343)
     transmittance_min: float = 1e-4  # early-stop threshold (forward.cu:347)

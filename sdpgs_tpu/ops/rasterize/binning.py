@@ -156,7 +156,7 @@ def bin_gaussians(
     n_local = num_tiles if tile_range is None else tile_range[1]
 
     # --- 3. within-tile rank ------------------------------------------------
-    Pb = cfg.rank_block_gaussians
+    Pb = min(cfg.rank_block_gaussians, P)  # small capacities keep the kernel
     use_kernel = (
         cfg.use_rank_kernel
         and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
@@ -170,16 +170,32 @@ def bin_gaussians(
     # much as no compaction, so fall through to the uncompacted scatter
     # there; drops escalate through the Trainer's telemetry ladder anyway.
     if use_kernel and cfg.rank_block_slots > 0 and n_local <= 1024:
-        from sdpgs_tpu.ops.rasterize.rank_pallas import compute_compact_entries_pallas
+        if cfg.rank_kernel_lanes:
+            from sdpgs_tpu.ops.rasterize.rank_pallas import (
+                compute_compact_entries_lanes_pallas,
+            )
 
-        slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
-            packed_s, tid, order, n_local, tiles_x, K,
-            S=cfg.rank_block_slots * (Pb // 256),
-            t0=None if tile_range is None else t0,
-            grouped=cfg.rank_block_grouped,
-            n_valid=n_valid,
-            Pb=Pb,
-        )
+            slot, gid_c, counts_k, dropped = compute_compact_entries_lanes_pallas(
+                packed_s, order, n_local, tiles_x, K, D,
+                S=cfg.rank_block_slots,
+                t0=None if tile_range is None else t0,
+                grouped=cfg.rank_block_grouped,
+                n_valid=n_valid,
+                Pb=Pb,
+            )
+        else:
+            from sdpgs_tpu.ops.rasterize.rank_pallas import (
+                compute_compact_entries_pallas,
+            )
+
+            slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
+                packed_s, tid, order, n_local, tiles_x, K,
+                S=cfg.rank_block_slots,
+                t0=None if tile_range is None else t0,
+                grouped=cfg.rank_block_grouped,
+                n_valid=n_valid,
+                Pb=Pb,
+            )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
             jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32) + dropped

@@ -30,13 +30,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+SB = 256  # sub-block width: the cumsum granularity (triangular-matmul size)
+
+
 def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
                  *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int):
-    # sc_ref: scalar-prefetch [nb_valid, shard-first-tile-id]
+    # sc_ref: scalar-prefetch [nb_valid (in SB units), shard-first-tile-id].
+    # Each grid step processes Pb = nsb*SB Gaussians as nsb serial SB-wide
+    # sub-blocks: the cumsum stays an [SB, SB] triangular matmul (total MXU
+    # work independent of Pb) while the grid shrinks by nsb — the kernel was
+    # grid-overhead bound (512 steps x ~8us >> ~0.3 ms of compute at bench
+    # shapes, measured r3).
     b = pl.program_id(0)
     c = pl.program_id(1)
     nb_valid = sc_ref[0]
     t0g = sc_ref[1]
+    nsb = Pb // SB
 
     @pl.when((b == 0) & (c == 0))
     def _():
@@ -48,75 +57,79 @@ def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
     def _():
         counts_ref[0, :] = jnp.zeros((Tc,), jnp.int32)
 
-    # Dead-block skip: the depth sort puts invalid entries (key=inf) last, so
-    # blocks past ceil(n_valid/Pb) hold no live entries — skip their compute
-    # entirely (at 60k alive / 131k capacity that's >half the grid). Their
-    # rank output is garbage but downstream masks it by entry validity; the
-    # counts block persists in VMEM across b (same block index), so the last
-    # *valid* block's write survives.
-    @pl.when(b < nb_valid)
-    def _():
-        from sdpgs_tpu.ops.rasterize.binning import unpack_rect
+    from sdpgs_tpu.ops.rasterize.binning import unpack_rect
 
-        packed = packed_ref[0, :]                          # [Pb] i32
-        xmin, xmax, ymin, ymax = unpack_rect(packed)
+    t0 = t0g + c * Tc
+    tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
+    ctx = tiles % tiles_x
+    cty = tiles // tiles_x
+    row = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    # bf16 operands are exact here (0/1 inputs, f32 accumulation of
+    # counts <= SB) and run the MXU ~6x faster than f32. DEFAULT
+    # precision overrides the package-wide "highest" default, which
+    # Mosaic rejects for bf16 operands ("Bad lhs type").
+    Lt = (row >= col).astype(jnp.bfloat16)
 
-        t0 = t0g + c * Tc
-        tiles = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, Tc), 1)[0]
-        ctx = tiles % tiles_x
-        cty = tiles // tiles_x
+    for sb in range(nsb):
+        gb = b * nsb + sb  # global SB-unit sub-block index
 
-        mask = (
-            (ctx[None, :] >= xmin[:, None])
-            & (ctx[None, :] < xmax[:, None])
-            & (cty[None, :] >= ymin[:, None])
-            & (cty[None, :] < ymax[:, None])
-        )
-        mf = mask.astype(jnp.float32)                      # [Pb, Tc]
+        # Dead-block skip: the depth sort puts invalid entries (key=inf)
+        # last, so sub-blocks past ceil(n_valid/SB) hold no live entries —
+        # skip their compute entirely (at 60k alive / 131k capacity that's
+        # >half the grid). Their rank output is garbage but downstream masks
+        # it by entry validity; the counts block persists in VMEM across b
+        # (same block index), so the last *valid* sub-block's write survives.
+        @pl.when(gb < nb_valid)
+        def _(sb=sb):
+            lo = sb * SB
+            packed = packed_ref[0, lo:lo + SB]             # [SB] i32
+            xmin, xmax, ymin, ymax = unpack_rect(packed)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
-        # bf16 operands are exact here (0/1 inputs, f32 accumulation of
-        # counts <= Pb) and run the MXU ~6x faster than f32. DEFAULT
-        # precision overrides the package-wide "highest" default, which
-        # Mosaic rejects for bf16 operands ("Bad lhs type").
-        Lt = (row >= col).astype(jnp.bfloat16)
-        within = jnp.dot(
-            Lt, mf.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )                                                  # inclusive
+            mask = (
+                (ctx[None, :] >= xmin[:, None])
+                & (ctx[None, :] < xmax[:, None])
+                & (cty[None, :] >= ymin[:, None])
+                & (cty[None, :] < ymax[:, None])
+            )
+            mf = mask.astype(jnp.float32)                  # [SB, Tc]
 
-        carry_c = carry_ref[c, :]                          # [Tc]
-        excl = carry_c[None, :] + within - mf              # [Pb, Tc]
+            within = jnp.dot(
+                Lt, mf.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )                                              # inclusive
 
-        # one-hot readout per rect slot (D small static)
-        for d in range(D):
-            td = tid_ref[0, :, d]                          # [Pb] i32, -1 = dead
-            hit = td[:, None] == tiles[None, :]
-            contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [Pb]
-            prev = jnp.where(c == 0, 0, rank_ref[0, :, d])
-            rank_ref[0, :, d] = prev + contrib.astype(jnp.int32)
+            carry_c = carry_ref[c, :]                      # [Tc]
+            excl = carry_c[None, :] + within - mf          # [SB, Tc]
 
-        new_carry = carry_c + within[Pb - 1, :]
-        carry_ref[c, :] = new_carry
-        counts_ref[0, :] = new_carry.astype(jnp.int32)     # last b's write wins
+            # one-hot readout per rect slot (D small static)
+            for d in range(D):
+                td = tid_ref[0, lo:lo + SB, d]             # [SB] i32, -1 = dead
+                hit = td[:, None] == tiles[None, :]
+                contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [SB]
+                prev = jnp.where(c == 0, 0, rank_ref[0, lo:lo + SB, d])
+                rank_ref[0, lo:lo + SB, d] = prev + contrib.astype(jnp.int32)
+
+            new_carry = carry_c + within[SB - 1, :]
+            carry_ref[c, :] = new_carry
+            counts_ref[0, :] = new_carry.astype(jnp.int32)  # last write wins
 
 
 @functools.lru_cache(maxsize=None)
 def _make_rank_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                     tiles_x: int, interpret: bool, Pb: int = 256):
-    assert P % Pb == 0 and num_tiles_padded % Tc == 0
-    nb = P // Pb
+    assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
+    nbg = P // Pb  # grid steps (each covers Pb // SB sub-blocks)
     nc = num_tiles_padded // Tc
 
     return pl.pallas_call(
         functools.partial(
-            _rank_kernel, Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc
+            _rank_kernel, Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nbg, nc=nc
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nc),
+            grid=(nbg, nc),
             in_specs=[
                 pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b),
                              memory_space=pltpu.VMEM),
@@ -149,12 +162,13 @@ def _default_tc(num_tiles: int) -> int:
     return 128
 
 
-def _nb_valid(n_valid, P: int, Pb: int = 256) -> jnp.ndarray:
-    """Number of Pb-blocks of the depth-sorted order holding valid entries."""
+def _nb_valid(n_valid, P: int) -> jnp.ndarray:
+    """Number of SB-wide sub-blocks of the depth-sorted order holding valid
+    entries (grid-block-size independent)."""
     if n_valid is None:
-        return jnp.full((1,), P // Pb, jnp.int32)
+        return jnp.full((1,), P // SB, jnp.int32)
     nv = jnp.asarray(n_valid, jnp.int32)
-    return ((nv + Pb - 1) // Pb).reshape(1)
+    return ((nv + SB - 1) // SB).reshape(1)
 
 
 def compute_ranks_pallas(
@@ -187,7 +201,7 @@ def compute_ranks_pallas(
         jax.default_backend() != "tpu", Pb=Pb,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
-    scalars = jnp.stack([_nb_valid(n_valid, P, Pb)[0], t0v])
+    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     rank, counts = call(scalars, packed_sorted[None], tid[None])
     return rank[0], counts[0, :num_tiles]
 
@@ -198,10 +212,15 @@ def _rank_compact_body(
     n_valid: int, groups: tuple, s_groups: tuple,
 ):
     """Rank kernel + in-VMEM block compaction: at the final tile chunk each
-    Gaussian block emits its <=S valid (slot+1, gid) entries densely packed,
-    so the XLA table scatter runs over nb*S rows instead of P*D (the D-scaled
-    scatter was ~20% of the train step). Dynamic VMEM scatter is expressed as
-    a one-hot matmul (MXU) — TPU has no in-kernel scatter primitive.
+    SB-wide sub-block emits its <=S valid (slot+1, gid) entries densely
+    packed, so the XLA table scatter runs over (P/SB)*S rows instead of P*D
+    (the D-scaled scatter was ~20% of the train step). Dynamic VMEM scatter
+    is expressed as a one-hot matmul (MXU) — TPU has no in-kernel scatter
+    primitive.
+
+    Each grid step batches ``Pb // SB`` sub-blocks (serial, carried): the
+    compaction granularity, compute, and output layout are IDENTICAL for
+    every Pb — only the grid (and its ~8us/step overhead) shrinks.
 
     ``t0g``: flat tile id of this shard's first tile (0, or a traced scalar
     under tile-partitioned rasterization); ``n_valid``: true local tile count
@@ -213,6 +232,7 @@ def _rank_compact_body(
     counts_ref, dropped_ref, carry_ref = rest[2 * ng:]
     b = pl.program_id(0)
     c = pl.program_id(1)
+    nsb = Pb // SB
 
     @pl.when((b == 0) & (c == 0))
     def _():
@@ -224,33 +244,43 @@ def _rank_compact_body(
     def _():
         counts_ref[0, :] = jnp.zeros((Tc,), jnp.int32)
 
-    # Dead-block skip (see _rank_kernel): blocks past nb_valid hold only
-    # invalid entries; emit empty compact regions and skip all compute.
-    @pl.when((b >= nb_valid) & (c == nc - 1))
-    def _skip():
-        for gi in range(ng):
-            slot_refs[gi][0, :] = jnp.zeros((s_groups[gi],), jnp.float32)
-            gout_refs[gi][0, :] = jnp.zeros((s_groups[gi],), jnp.float32)
+    @pl.when(c == nc - 1)
+    def _():
         dropped_ref[0, 0, :] = jnp.zeros((128,), jnp.float32)
 
-    @pl.when(b < nb_valid)
-    def _main():
-        _rank_compact_main(
-            b, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs,
-            gout_refs, counts_ref, dropped_ref, carry_ref,
-            Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K,
-            n_valid=n_valid, groups=groups, s_groups=s_groups,
-        )
+    for sb in range(nsb):
+        gb = b * nsb + sb
+
+        # Dead-block skip (see _rank_kernel): sub-blocks past nb_valid hold
+        # only invalid entries; emit empty compact regions, skip compute.
+        @pl.when((gb >= nb_valid) & (c == nc - 1))
+        def _skip(sb=sb):
+            for gi in range(ng):
+                lo = sb * s_groups[gi]
+                slot_refs[gi][0, lo:lo + s_groups[gi]] = jnp.zeros(
+                    (s_groups[gi],), jnp.float32)
+                gout_refs[gi][0, lo:lo + s_groups[gi]] = jnp.zeros(
+                    (s_groups[gi],), jnp.float32)
+
+        @pl.when(gb < nb_valid)
+        def _main(sb=sb):
+            _rank_compact_main(
+                sb, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs,
+                gout_refs, counts_ref, dropped_ref, carry_ref,
+                Tc=Tc, D=D, tiles_x=tiles_x, nc=nc, K=K,
+                n_valid=n_valid, groups=groups, s_groups=s_groups,
+            )
 
 
 def _rank_compact_main(
-    b, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs, gout_refs,
+    sb, c, t0g, packed_ref, tid_ref, gin_ref, rank_ref, slot_refs, gout_refs,
     counts_ref, dropped_ref, carry_ref,
-    *, Pb, Tc, D, tiles_x, nb, nc, K, n_valid, groups, s_groups,
+    *, Tc, D, tiles_x, nc, K, n_valid, groups, s_groups,
 ):
     from sdpgs_tpu.ops.rasterize.binning import unpack_rect
 
-    packed = packed_ref[0, :]                              # [Pb] i32
+    lo = sb * SB
+    packed = packed_ref[0, lo:lo + SB]                     # [SB] i32
     xmin, xmax, ymin, ymax = unpack_rect(packed)
 
     t0 = t0g + c * Tc
@@ -264,10 +294,10 @@ def _rank_compact_main(
         & (cty[None, :] >= ymin[:, None])
         & (cty[None, :] < ymax[:, None])
     )
-    mf = mask.astype(jnp.float32)                          # [Pb, Tc]
+    mf = mask.astype(jnp.float32)                          # [SB, Tc]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Pb, Pb), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
     # bf16 operands are exact (0/1 inputs, f32 accumulation) and ~6x faster;
     # DEFAULT precision — Mosaic rejects fp32 contract precision on bf16.
     Lt = (row >= col).astype(jnp.bfloat16)
@@ -278,25 +308,25 @@ def _rank_compact_main(
     )                                                      # inclusive
 
     carry_c = carry_ref[c, :]                              # [Tc]
-    excl = carry_c[None, :] + within - mf                  # [Pb, Tc]
+    excl = carry_c[None, :] + within - mf                  # [SB, Tc]
 
     for d in range(D):
-        td = tid_ref[0, :, d]                              # [Pb] i32, -1 = dead
+        td = tid_ref[0, lo:lo + SB, d]                     # [SB] i32, -1 = dead
         hit = td[:, None] == tiles[None, :]
-        contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [Pb] f32
-        prev = jnp.where(c == 0, 0.0, rank_ref[0, :, d])
-        rank_ref[0, :, d] = prev + contrib
+        contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=1)  # [SB] f32
+        prev = jnp.where(c == 0, 0.0, rank_ref[0, lo:lo + SB, d])
+        rank_ref[0, lo:lo + SB, d] = prev + contrib
 
-    new_carry = carry_c + within[Pb - 1, :]
+    new_carry = carry_c + within[SB - 1, :]
     carry_ref[c, :] = new_carry
-    counts_ref[0, :] = new_carry.astype(jnp.int32)         # last b's write wins
+    counts_ref[0, :] = new_carry.astype(jnp.int32)         # last write wins
 
     @pl.when(c == nc - 1)
     def _compact():
-        gid = gin_ref[0, :].astype(jnp.float32)            # [Pb]
-        tid_all = tid_ref[0, :, :]                         # [Pb, D]
+        gid = gin_ref[0, lo:lo + SB].astype(jnp.float32)   # [SB]
+        tid_all = tid_ref[0, lo:lo + SB, :]                # [SB, D]
         local = tid_all - t0g                              # shard-local tile id
-        rank_all = rank_ref[0, :, :]                       # [Pb, D] f32, final
+        rank_all = rank_ref[0, lo:lo + SB, :]              # [SB, D] f32, final
         vf = (
             (tid_all >= 0) & (local >= 0) & (local < n_valid) & (rank_all < K)
         ).astype(jnp.float32)
@@ -305,7 +335,7 @@ def _rank_compact_main(
         # per-entry position within its group region: within-column
         # exclusive cumsum (strict-lower triangular matmul) + totals of
         # earlier columns in the same group
-        strict = (row > col).astype(jnp.bfloat16)          # [Pb, Pb]
+        strict = (row > col).astype(jnp.bfloat16)          # [SB, SB]
         excl = jnp.dot(strict, vf.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.DEFAULT)
@@ -319,17 +349,17 @@ def _rank_compact_main(
             (jnp.minimum(drow, cap) == jnp.minimum(dcol, cap)) & (dcol < drow)
         ).astype(jnp.float32)
         offs = jnp.sum(same * tot[None, :], axis=1)        # [D]
-        pos = excl + offs[None, :]                         # [Pb, D]
+        pos = excl + offs[None, :]                         # [SB, D]
 
         # clamp/drop against the per-column group capacity on the full
-        # [Pb, D] array (column slices feed only simple broadcasts below —
+        # [SB, D] array (column slices feed only simple broadcasts below —
         # Mosaic rejects compute on lane-offset vectors)
-        diota = jax.lax.broadcasted_iota(jnp.int32, (Pb, D), 1)
-        sg_of_d = jnp.full((Pb, D), float(s_groups[-1]), jnp.float32)
+        diota = jax.lax.broadcasted_iota(jnp.int32, (SB, D), 1)
+        sg_of_d = jnp.full((SB, D), float(s_groups[-1]), jnp.float32)
         for gi, ds in enumerate(groups[:-1]):
             sg_of_d = jnp.where(diota == ds[0], float(s_groups[gi]), sg_of_d)
         in_cap = (vf > 0) & (pos < sg_of_d)
-        pd_all = jnp.where(in_cap, pos, sg_of_d).astype(jnp.int32)  # [Pb, D]
+        pd_all = jnp.where(in_cap, pos, sg_of_d).astype(jnp.int32)  # [SB, D]
         dropped = jnp.sum(vf * (pos >= sg_of_d))
 
         # each group region is its own full-width output (Mosaic cannot
@@ -339,18 +369,19 @@ def _rank_compact_main(
             Sg = s_groups[gi]
             out_slot = jnp.zeros((Sg,), jnp.float32)
             out_gid = jnp.zeros((Sg,), jnp.float32)
-            iota_g = jax.lax.broadcasted_iota(jnp.int32, (Sg, Pb), 0)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (Sg, SB), 0)
             for d in ds:
-                hit = iota_g == pd_all[:, d][None, :]      # [Sg, Pb]
+                hit = iota_g == pd_all[:, d][None, :]      # [Sg, SB]
                 out_slot = out_slot + jnp.sum(
                     jnp.where(hit, slot1[:, d][None, :], 0.0), axis=1
                 )
                 out_gid = out_gid + jnp.sum(
                     jnp.where(hit, (gid * vf[:, d])[None, :], 0.0), axis=1
                 )
-            slot_refs[gi][0, :] = out_slot
-            gout_refs[gi][0, :] = out_gid
-        dropped_ref[0, 0, :] = jnp.full((128,), dropped, jnp.float32)
+            glo = sb * Sg
+            slot_refs[gi][0, glo:glo + Sg] = out_slot
+            gout_refs[gi][0, glo:glo + Sg] = out_gid
+        dropped_ref[0, 0, :] += jnp.full((128,), dropped, jnp.float32)
 
 
 def _rank_compact_kernel(sc_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
@@ -381,8 +412,10 @@ def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
                             grouped: bool, interpret: bool, Pb: int = 256):
-    assert P % Pb == 0 and num_tiles_padded % Tc == 0
-    nb = P // Pb
+    assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
+    nb = P // SB   # total SB-wide sub-blocks (fixes output layout for any Pb)
+    nbg = P // Pb  # grid steps
+    nsb = Pb // SB
     nc = num_tiles_padded // Tc
     groups, s_groups = _group_layout(D, S, grouped)
 
@@ -396,7 +429,7 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         [pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
                       memory_space=pltpu.VMEM)]
         + [
-            pl.BlockSpec((1, sg), lambda b, c, *_: (0, b),
+            pl.BlockSpec((1, nsb * sg), lambda b, c, *_: (0, b),
                          memory_space=pltpu.VMEM)
             for sg in s_groups
         ] * 2
@@ -413,19 +446,19 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
            for sg in s_groups] * 2
         + [
             jax.ShapeDtypeStruct((1, num_tiles_padded), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbg, 1, 128), jnp.float32),
         ]
     )
     scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)]
-    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nb, nc=nc, K=K,
+    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nbg, nc=nc, K=K,
               n_valid=n_valid, groups=groups, s_groups=s_groups)
 
-    # scalar-prefetch operand: [nb_valid, shard-first-tile-id]
+    # scalar-prefetch operand: [nb_valid (SB units), shard-first-tile-id]
     return pl.pallas_call(
         functools.partial(_rank_compact_kernel, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nc),
+            grid=(nbg, nc),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -468,7 +501,7 @@ def compute_compact_entries_pallas(
         grouped, jax.default_backend() != "tpu", Pb=Pb,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
-    scalars = jnp.stack([_nb_valid(n_valid, P, Pb)[0], t0v])
+    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     outs = call(scalars, packed_sorted[None], tid[None], gid_sorted[None])
     ng = len(_group_layout(D, S, grouped)[0])
     slot_parts = outs[1:1 + ng]
@@ -478,5 +511,288 @@ def compute_compact_entries_pallas(
     gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
     return (
         slot, gid, counts[0, :num_tiles],
+        jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lane-major ("lanes") layout variant of the compact rank kernel.
+#
+# The row-major kernel above keeps per-Gaussian vectors on SUBLANES, so every
+# ``x[:, None]`` broadcast and every ``arr[:, d][None, :]`` column slice is a
+# Mosaic sublane<->lane relayout (~30+ per block; at 512 grid steps these
+# dominate the kernel: 4.89 ms measured vs ~0.3 ms compute floor, r3).
+# Here Gaussians live on LANES end to end:
+#   - tiles/carry/counts are [Tc, 1] columns (native sublane iota, lane
+#     broadcasts are free in both directions),
+#   - the membership mask is [Tc, SB], cumsum = mf @ U on the MXU,
+#   - rect-slot tile ids are recomputed in-kernel from the packed rects
+#     (pure lane-vector arithmetic), so the [P, D] ``tid`` input disappears,
+#   - the compact regions are emitted as [Sg, 1] columns (lane reductions).
+# --------------------------------------------------------------------------
+
+
+def _dy_dx(diota_f, rw_f, D, SBn):
+    """Per-entry rect-cell coordinates: floor((d + 0.5) / rw) is exact for
+    d < 8, rw < 256 (the +0.5 keeps exact-integer quotients from rounding
+    down through the f32 reciprocal)."""
+    dy = jnp.floor((diota_f + 0.5) / rw_f)
+    dx = diota_f - dy * rw_f
+    return dy, dx
+
+
+def _rank_compact_lanes_body(
+    nb_valid, t0g, packed_ref, gin_ref, rank_ref, *rest,
+    Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
+    n_valid: int, groups: tuple, s_groups: tuple,
+):
+    ng = len(groups)
+    slot_refs = rest[:ng]
+    gout_refs = rest[ng:2 * ng]
+    counts_ref, dropped_ref, carry_ref = rest[2 * ng:]
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    nsb = Pb // SB
+
+    @pl.when((b == 0) & (c == 0))
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    @pl.when(b == 0)
+    def _():
+        counts_ref[...] = jnp.zeros((Tc, 1), jnp.int32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        dropped_ref[0, 0, :] = jnp.zeros((128,), jnp.float32)
+
+    from sdpgs_tpu.ops.rasterize.binning import unpack_rect
+
+    tiles = t0g + c * Tc + jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0)
+    ctx = tiles % tiles_x                                   # [Tc, 1]
+    cty = tiles // tiles_x
+    row = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SB, SB), 1)
+    # U[g', g] = g' <= g: inclusive cumsum along lanes as mf @ U (bf16 exact
+    # for 0/1 inputs with f32 accumulation; DEFAULT precision for Mosaic)
+    Uincl = (row <= col).astype(jnp.bfloat16)
+    Ustrict = (row < col).astype(jnp.bfloat16)
+
+    for sb in range(nsb):
+        gb = b * nsb + sb
+
+        @pl.when((gb >= nb_valid) & (c == nc - 1))
+        def _skip(sb=sb):
+            for gi in range(ng):
+                glo = sb * s_groups[gi]
+                slot_refs[gi][glo:glo + s_groups[gi], :] = jnp.zeros(
+                    (s_groups[gi], 1), jnp.float32)
+                gout_refs[gi][glo:glo + s_groups[gi], :] = jnp.zeros(
+                    (s_groups[gi], 1), jnp.float32)
+
+        @pl.when(gb < nb_valid)
+        def _main(sb=sb):
+            lo = sb * SB
+            packed = packed_ref[0, lo:lo + SB]              # [SB] lanes
+            xmin, xmax, ymin, ymax = unpack_rect(packed)
+            rect_w = xmax - xmin
+            count = rect_w * (ymax - ymin)                  # [SB]
+            rw_f = jnp.maximum(rect_w, 1).astype(jnp.float32)
+
+            mask = (
+                (ctx >= xmin[None, :]) & (ctx < xmax[None, :])
+                & (cty >= ymin[None, :]) & (cty < ymax[None, :])
+            )                                               # [Tc, SB]
+            mf = mask.astype(jnp.float32)
+            within = jnp.dot(
+                mf.astype(jnp.bfloat16), Uincl,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )                                               # [Tc, SB] inclusive
+            carry_c = carry_ref[c, :, :]                    # [Tc, 1]
+            excl = carry_c + within - mf                    # [Tc, SB]
+
+            for d in range(D):
+                dy = jnp.floor((d + 0.5) / rw_f)
+                dx = jnp.float32(d) - dy * rw_f
+                td = (
+                    (ymin.astype(jnp.float32) + dy) * tiles_x
+                    + xmin.astype(jnp.float32) + dx
+                ).astype(jnp.int32)                         # [SB] (garbage on
+                                                            # dead entries —
+                                                            # masked later)
+                hit = tiles == td[None, :]                  # [Tc, SB]
+                contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=0)  # [SB]
+                prev = jnp.where(c == 0, 0.0, rank_ref[0, d, lo:lo + SB])
+                rank_ref[0, d, lo:lo + SB] = prev + contrib
+
+            new_carry = carry_c + jnp.sum(mf, axis=1, keepdims=True)
+            carry_ref[c, :, :] = new_carry
+            counts_ref[...] = new_carry.astype(jnp.int32)   # last write wins
+
+            @pl.when(c == nc - 1)
+            def _compact():
+                gid = gin_ref[0, lo:lo + SB].astype(jnp.float32)  # [SB]
+                rank_all = rank_ref[0, :, lo:lo + SB]       # [D, SB]
+                diota = jax.lax.broadcasted_iota(jnp.int32, (D, SB), 0)
+                dy = jnp.floor((diota.astype(jnp.float32) + 0.5) / rw_f[None, :])
+                dx = diota.astype(jnp.float32) - dy * rw_f[None, :]
+                td_all = (
+                    (ymin.astype(jnp.float32)[None, :] + dy) * tiles_x
+                    + xmin.astype(jnp.float32)[None, :] + dx
+                ).astype(jnp.int32)                         # [D, SB]
+                entry_ok = diota < count[None, :]           # count<=0 -> none
+                local = td_all - t0g
+                vf = (
+                    entry_ok & (local >= 0) & (local < n_valid)
+                    & (rank_all < K)
+                ).astype(jnp.float32)                       # [D, SB]
+                slot1 = (local.astype(jnp.float32) * K + rank_all + 1.0) * vf
+
+                pos = jnp.dot(
+                    vf.astype(jnp.bfloat16), Ustrict,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )                                           # [D, SB] exclusive
+                tot = jnp.sum(vf, axis=1, keepdims=True)    # [D, 1]
+                srow = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+                scol = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+                cap = len(groups) - 1
+                same = (
+                    (jnp.minimum(srow, cap) == jnp.minimum(scol, cap))
+                    & (scol < srow)
+                ).astype(jnp.float32)
+                offs = jnp.dot(same, tot,
+                               preferred_element_type=jnp.float32)  # [D, 1]
+                pos = pos + offs                            # [D, SB]
+
+                dio = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+                sg_col = jnp.full((D, 1), float(s_groups[-1]), jnp.float32)
+                for gi, ds in enumerate(groups[:-1]):
+                    sg_col = jnp.where(dio == ds[0], float(s_groups[gi]),
+                                       sg_col)
+                in_cap = (vf > 0) & (pos < sg_col)
+                pd_all = jnp.where(in_cap, pos, sg_col).astype(jnp.int32)
+                dropped = jnp.sum(vf * (pos >= sg_col))
+
+                for gi, ds in enumerate(groups):
+                    Sg = s_groups[gi]
+                    siota = jax.lax.broadcasted_iota(jnp.int32, (Sg, SB), 0)
+                    out_slot = jnp.zeros((Sg, 1), jnp.float32)
+                    out_gid = jnp.zeros((Sg, 1), jnp.float32)
+                    for d in ds:
+                        hit = siota == pd_all[d][None, :]   # [Sg, SB]
+                        out_slot = out_slot + jnp.sum(
+                            jnp.where(hit, slot1[d][None, :], 0.0),
+                            axis=1, keepdims=True)
+                        out_gid = out_gid + jnp.sum(
+                            jnp.where(hit, (gid * vf[d])[None, :], 0.0),
+                            axis=1, keepdims=True)
+                    glo = sb * Sg
+                    slot_refs[gi][glo:glo + Sg, :] = out_slot
+                    gout_refs[gi][glo:glo + Sg, :] = out_gid
+                dropped_ref[0, 0, :] += jnp.full((128,), dropped, jnp.float32)
+
+
+def _rank_compact_lanes_kernel(sc_ref, packed_ref, gin_ref, *refs, **kw):
+    _rank_compact_lanes_body(
+        sc_ref[0], sc_ref[1], packed_ref, gin_ref, *refs, **kw
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
+                                  Tc: int, tiles_x: int, K: int, S: int,
+                                  n_valid: int, grouped: bool,
+                                  interpret: bool, Pb: int = 256):
+    assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
+    nb = P // SB
+    nbg = P // Pb
+    nsb = Pb // SB
+    nc = num_tiles_padded // Tc
+    groups, s_groups = _group_layout(D, S, grouped)
+
+    in_specs = [
+        pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        [pl.BlockSpec((1, D, Pb), lambda b, c, *_: (0, 0, b),
+                      memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec((nsb * sg, 1), lambda b, c, *_: (b, 0),
+                         memory_space=pltpu.VMEM)
+            for sg in s_groups
+        ] * 2
+        + [
+            pl.BlockSpec((Tc, 1), lambda b, c, *_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, c, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, D, P), jnp.float32)]  # ranks (scratch-like)
+        + [jax.ShapeDtypeStruct((nb * sg, 1), jnp.float32)
+           for sg in s_groups] * 2
+        + [
+            jax.ShapeDtypeStruct((num_tiles_padded, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nbg, 1, 128), jnp.float32),
+        ]
+    )
+    scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc, 1), jnp.float32)]
+    kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nbg, nc=nc, K=K,
+              n_valid=n_valid, groups=groups, s_groups=s_groups)
+
+    return pl.pallas_call(
+        functools.partial(_rank_compact_lanes_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbg, nc),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def compute_compact_entries_lanes_pallas(
+    packed_sorted: jnp.ndarray,   # [P] i32 packed rects, depth-sorted
+    gid_sorted: jnp.ndarray,      # [P] i32 original Gaussian ids (sort order)
+    num_tiles: int,
+    tiles_x: int,
+    K: int,
+    D: int,
+    S: int = 512,
+    Tc: int | None = None,
+    t0: jnp.ndarray | None = None,
+    grouped: bool = True,
+    n_valid: jnp.ndarray | None = None,
+    Pb: int = 256,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lane-major variant of :func:`compute_compact_entries_pallas` — same
+    contract, but needs no [P, D] tid input (rect-slot tiles are recomputed
+    in-kernel from the packed rects)."""
+    P = packed_sorted.shape[0]
+    if Tc is None:
+        Tc = _default_tc(num_tiles)
+    pad_tiles = (-num_tiles) % Tc
+    call = _make_rank_compact_lanes_call(
+        P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
+        grouped, jax.default_backend() != "tpu", Pb=Pb,
+    )
+    t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
+    scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
+    outs = call(scalars, packed_sorted[None], gid_sorted[None])
+    ng = len(_group_layout(D, S, grouped)[0])
+    slot_parts = outs[1:1 + ng]
+    gid_parts = outs[1 + ng:1 + 2 * ng]
+    counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
+    slot = jnp.concatenate([p[:, 0] for p in slot_parts]).astype(jnp.int32) - 1
+    gid = jnp.concatenate([p[:, 0] for p in gid_parts]).astype(jnp.int32)
+    return (
+        slot, gid, counts[:num_tiles, 0],
         jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
     )

@@ -378,3 +378,39 @@ def test_kernel_binning_matches_scan_at_larger_pb(rng):
                                       np.asarray(ref.tile_index), err_msg=str(Pb))
         np.testing.assert_array_equal(np.asarray(got.tile_counts),
                                       np.asarray(ref.tile_counts))
+
+
+def test_lanes_kernel_matches_row_kernel(rng):
+    """The lane-major compact kernel (rank_kernel_lanes=True) reproduces the
+    row-major kernel's table/counts/overflow exactly, grouped and flat, at
+    multiple grid block sizes."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    P = 1024
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 14, P).astype(np.float32)),
+    )
+    W, H = 160, 128
+    for grouped, S in ((True, 512), (False, 256)):  # S=256 flat: forces drops
+        base = dict(tile=16, max_per_tile=64, max_tiles_per_gaussian=6,
+                    chunk=32, interpret_kernels=True, rank_block_slots=S,
+                    rank_block_grouped=grouped)
+        for Pb in (256, 512):
+            ref = bin_gaussians(prep, W, H, RasterizeConfig(
+                **base, rank_kernel_lanes=False, rank_block_gaussians=Pb))
+            got = bin_gaussians(prep, W, H, RasterizeConfig(
+                **base, rank_kernel_lanes=True, rank_block_gaussians=Pb))
+            np.testing.assert_array_equal(
+                np.asarray(got.tile_counts), np.asarray(ref.tile_counts))
+            assert int(got.overflow) == int(ref.overflow), (grouped, S, Pb)
+            if int(ref.overflow) == 0:
+                np.testing.assert_array_equal(
+                    np.asarray(got.tile_index), np.asarray(ref.tile_index))
