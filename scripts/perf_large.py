@@ -29,7 +29,7 @@ ALIVE = 1_000_000
 
 def main():
     rng = np.random.default_rng(0)
-    pts = (rng.normal(size=(ALIVE, 3)) * [1.6, 1.2, 0.9] + [0, 0, 4.0]).astype(np.float32)
+    pts = (rng.normal(size=(ALIVE, 3)) * [3.2, 2.4, 1.8] + [0, 0, 6.5]).astype(np.float32)
     cols = rng.uniform(size=(ALIVE, 3)).astype(np.float32)
     cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=0.9, fovy=0.7,
                         width=WIDTH, height=HEIGHT)
@@ -43,20 +43,32 @@ def main():
     )
     protos = jnp.ones((8, 3))
 
+    # scene shape report: per-tile load at this spread
+    from sdpgs_tpu.ops.rasterize import binning as binning_lib
+    from sdpgs_tpu.ops.rasterize.preprocess import preprocess_fused
+
+    g0 = create_from_points(pts, cols, CAPACITY, init_scale=np.full(ALIVE, 1e-4))
+    cfg0 = RasterizeConfig(chunk=64, max_per_tile=2048, rank_block_slots=0)
+    prep = preprocess_fused(g0.xyz, g0.get_scaling(), g0.get_rotation(), cam,
+                            g0.alive, near=cfg0.near, low_pass=cfg0.low_pass)
+    b0 = binning_lib.bin_gaussians(prep, WIDTH, HEIGHT, cfg0)
+    c = np.asarray(b0.tile_counts)
+    print(f"scene: entries={int(np.sum(c))} max/tile={int(c.max())} "
+          f"p99/tile={int(np.percentile(c, 99))} overflow@2048="
+          f"{int(b0.overflow)}", flush=True)
+    del g0, b0, prep
+
     configs = [
-        # label, raster kwargs
-        ("r2 K=2048 uncompacted", dict(max_per_tile=2048, rank_block_slots=0)),
-        ("K=2048 uncompact Pb=2048 tps=4",
-         dict(max_per_tile=2048, rank_block_slots=0,
+        # K=2048 keeps the tile cap drop-free on this scene; compaction
+        # (lanes kernel) cuts the table scatter from P*D=8M rows to
+        # (P/256)*1.25*S rows.
+        ("K=2048 uncompacted (r2 config)",
+         dict(max_per_tile=2048, rank_block_slots=0)),
+        ("K=2048 S=512 grouped (lanes)",
+         dict(max_per_tile=2048, rank_block_slots=512,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=1024 S=512 grouped Pb=2048 tps=4",
-         dict(max_per_tile=1024, rank_block_slots=512,
-              rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=1024 S=768 grouped Pb=2048 tps=4",
-         dict(max_per_tile=1024, rank_block_slots=768,
-              rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=1024 S=768 flat Pb=2048 tps=4",
-         dict(max_per_tile=1024, rank_block_slots=768, rank_block_grouped=False,
+        ("K=2048 S=768 grouped (lanes)",
+         dict(max_per_tile=2048, rank_block_slots=768,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
     ]
     for label, kw in configs:

@@ -43,15 +43,25 @@ from sdpgs_tpu.config import RasterizeConfig
 from sdpgs_tpu.ops.rasterize.composite_xla import TileOutputs
 
 
-def _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg: RasterizeConfig):
-    """[G] payload vs [npix] pixels -> alpha [G, npix] + not_clamped mask.
+def _alpha_and_masks(geoT, px, py, cfg: RasterizeConfig):
+    """[G, 6] packed geometry columns (xs, ys, ca, cb, cc, op) vs [npix]
+    pixel rows -> alpha [G, npix] + not_clamped mask + the column views.
+
+    The chunk's six per-entry scalars arrive as ONE transposed [G, 6] block
+    (a single sublane<->lane relayout) instead of six lane-vector slices
+    each broadcast with ``[:, None]`` — those implicit per-vector relayouts
+    were the dominant cost of the rank kernel (r3) and recur here at ~6-13
+    per chunk-visit.
 
     Mirrors forward.cu:330-351: power > 0 skip, alpha = min(0.99, op*exp),
     alpha < 1/255 skip."""
-    dx = xs[:, None] - px[None, :]
-    dy = ys[:, None] - py[None, :]
-    power = -0.5 * (ca[:, None] * dx * dx + cc[:, None] * dy * dy) - cb[:, None] * dx * dy
-    alpha_raw = op[:, None] * jnp.exp(power)
+    xs, ys = geoT[:, 0:1], geoT[:, 1:2]                      # [G, 1]
+    ca, cb, cc = geoT[:, 2:3], geoT[:, 3:4], geoT[:, 4:5]
+    op = geoT[:, 5:6]
+    dx = xs - px[None, :]
+    dy = ys - py[None, :]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha_raw = op * jnp.exp(power)
     alpha = jnp.minimum(cfg.alpha_max, alpha_raw)
     live = (power <= 0.0) & (alpha_raw >= cfg.alpha_min)
     alpha = jnp.where(live, alpha, 0.0)
@@ -78,7 +88,7 @@ def _tri_dot(L, X, bf16: bool):
     return jnp.dot(L, X, preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
+def _fwd_kernel(counts_ref, geo_ref, val_ref, px_ref, py_ref,
                 out_ref, tfin_ref, tres_ref, dres_ref, nproc_ref,
                 *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int,
                 tps: int):
@@ -111,13 +121,8 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
             g0 = pl.multiple_of(c * G, 128)
             tres_ref[ti, c, :] = t
             dres_ref[ti, c, :] = done
-            xs = xy_ref[ti, 0, pl.ds(g0, G)]
-            ys = xy_ref[ti, 1, pl.ds(g0, G)]
-            ca = con_ref[ti, 0, pl.ds(g0, G)]
-            cb = con_ref[ti, 1, pl.ds(g0, G)]
-            cc = con_ref[ti, 2, pl.ds(g0, G)]
-            op = opa_ref[ti, 0, pl.ds(g0, G)]
-            alpha, _, _, _, _ = _alpha_and_masks(xs, ys, ca, cb, cc, op, px, py, cfg)
+            geoT = geo_ref[ti, :, pl.ds(g0, G)].T               # [G, 6]
+            alpha, _, _, _, _ = _alpha_and_masks(geoT, px, py, cfg)
 
             logs = jnp.log1p(-alpha)                               # [G, npix]
             t_excl = t[None, :] * jnp.exp(
@@ -149,14 +154,12 @@ def _fwd_kernel(counts_ref, xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
         nproc_ref[0, tile] = c_fin
 
 
-def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
+def _bwd_kernel(geo_ref, val_ref, px_ref, py_ref,
                 tres_ref, dres_ref, nproc_ref, tfin_ref, gval_ref, gtfin_ref,
-                dxy_ref, dcon_ref, dopa_ref, dval_ref,
+                dgeo_ref, dval_ref,
                 *, cfg: RasterizeConfig, nchunk: int, G: int, npix: int, C: int,
                 bwd_bf16: bool, tps: int):
-    dxy_ref[...] = jnp.zeros_like(dxy_ref)
-    dcon_ref[...] = jnp.zeros_like(dcon_ref)
-    dopa_ref[...] = jnp.zeros_like(dopa_ref)
+    dgeo_ref[...] = jnp.zeros_like(dgeo_ref)
     dval_ref[...] = jnp.zeros_like(dval_ref)
 
     tri_dtype = jnp.bfloat16 if bwd_bf16 else jnp.float32
@@ -176,14 +179,11 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
             g0 = pl.multiple_of(c * G, 128)
             t = tres_ref[ti, c, :]
             done = dres_ref[ti, c, :]
-            xs = xy_ref[ti, 0, pl.ds(g0, G)]
-            ys = xy_ref[ti, 1, pl.ds(g0, G)]
-            ca = con_ref[ti, 0, pl.ds(g0, G)]
-            cb = con_ref[ti, 1, pl.ds(g0, G)]
-            cc = con_ref[ti, 2, pl.ds(g0, G)]
-            op = opa_ref[ti, 0, pl.ds(g0, G)]
+            geoT = geo_ref[ti, :, pl.ds(g0, G)].T               # [G, 6]
+            ca, cb, cc = geoT[:, 2:3], geoT[:, 3:4], geoT[:, 4:5]
+            op = geoT[:, 5:6]
             alpha, not_clamped, dx, dy, alpha_raw = _alpha_and_masks(
-                xs, ys, ca, cb, cc, op, px, py, cfg
+                geoT, px, py, cfg
             )
 
             logs = jnp.log1p(-alpha)
@@ -213,24 +213,30 @@ def _bwd_kernel(xy_ref, con_ref, opa_ref, val_ref, px_ref, py_ref,
             # product is masked *inside* the where — d_eff * inf would be
             # 0 * inf = NaN otherwise.
             d_eff = jnp.where(not_clamped, d_alpha, 0.0)
-            d_op = jnp.sum(jnp.where(not_clamped, d_alpha * alpha_raw, 0.0), axis=1)
-            dopa_ref[ti, 0, pl.ds(g0, G)] = jnp.where(
-                op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0
-            )
+            d_op = jnp.sum(jnp.where(not_clamped, d_alpha * alpha_raw, 0.0),
+                           axis=1, keepdims=True)              # [G, 1]
+            d_opa = jnp.where(op > 0.0, d_op / jnp.maximum(op, 1e-30), 0.0)
             # Six reductions share the dx*d_pow / dy*d_pow products; constant
-            # scales are applied after the [G, npix] -> [G] sums.
+            # scales are applied after the [G, npix] -> [G, 1] sums. The six
+            # gradient columns pack into one [G, 6] block and store through
+            # a single transpose (mirror of the packed-geometry load).
             d_pow = d_eff * alpha                                  # [G, npix]
             dxp = dx * d_pow
             dyp = dy * d_pow
-            dcon_ref[ti, 0, pl.ds(g0, G)] = -0.5 * jnp.sum(dx * dxp, axis=1)
-            dcon_ref[ti, 1, pl.ds(g0, G)] = -jnp.sum(dy * dxp, axis=1)
-            dcon_ref[ti, 2, pl.ds(g0, G)] = -0.5 * jnp.sum(dy * dyp, axis=1)
-            dxy_ref[ti, 0, pl.ds(g0, G)] = -(
-                ca * jnp.sum(dxp, axis=1) + cb * jnp.sum(dyp, axis=1)
-            )
-            dxy_ref[ti, 1, pl.ds(g0, G)] = -(
-                cc * jnp.sum(dyp, axis=1) + cb * jnp.sum(dxp, axis=1)
-            )
+            sxp = jnp.sum(dxp, axis=1, keepdims=True)              # [G, 1]
+            syp = jnp.sum(dyp, axis=1, keepdims=True)
+            dgeo_cols = jnp.concatenate(
+                [
+                    -(ca * sxp + cb * syp),                        # d xy0
+                    -(cc * syp + cb * sxp),                        # d xy1
+                    -0.5 * jnp.sum(dx * dxp, axis=1, keepdims=True),  # d con0
+                    -jnp.sum(dy * dxp, axis=1, keepdims=True),     # d con1
+                    -0.5 * jnp.sum(dy * dyp, axis=1, keepdims=True),  # d con2
+                    d_opa,                                         # d opacity
+                ],
+                axis=1,
+            )                                                      # [G, 6]
+            dgeo_ref[ti, :, pl.ds(g0, G)] = dgeo_cols.T
 
             return s_carry + jnp.sum(wvg, axis=0)
 
@@ -269,9 +275,7 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
         grid=(T // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile counts
-            tile_block(2, K),      # xy
-            tile_block(3, K),      # conic
-            tile_block(1, K),      # opacity (singleton axis: TPU block rule)
+            tile_block(6, K),      # packed geometry (xy, conic, opacity)
             tile_block(C, K),      # values
             tile_block(1, npix),   # px
             tile_block(1, npix),   # py
@@ -305,9 +309,7 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
                           bwd_bf16=bwd_bf16, tps=tps),
         grid=(T // tps,),
         in_specs=[
-            tile_block(2, K),
-            tile_block(3, K),
-            tile_block(1, K),
+            tile_block(6, K),      # packed geometry
             tile_block(C, K),
             tile_block(1, npix),
             tile_block(1, npix),
@@ -319,36 +321,32 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
             tile_block(1, npix),   # g tfin
         ],
         out_specs=[
-            tile_block(2, K),
-            tile_block(3, K),
-            tile_block(1, K),
+            tile_block(6, K),
             tile_block(C, K),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 2, K), jnp.float32),
-            jax.ShapeDtypeStruct((T, 3, K), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, 6, K), jnp.float32),
             jax.ShapeDtypeStruct((T, C, K), jnp.float32),
         ],
         interpret=_interpret(),
     )
 
     @jax.custom_vjp
-    def composite(counts, xy_t, con_t, opa, val_t, px, py):
-        out, tfin, _, _, _ = fwd_call(counts, xy_t, con_t, opa, val_t, px, py)
+    def composite(counts, geo, val_t, px, py):
+        out, tfin, _, _, _ = fwd_call(counts, geo, val_t, px, py)
         return out, tfin
 
-    def composite_fwd(counts, xy_t, con_t, opa, val_t, px, py):
-        out, tfin, tres, dres, nproc = fwd_call(counts, xy_t, con_t, opa, val_t, px, py)
-        return (out, tfin), (xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin)
+    def composite_fwd(counts, geo, val_t, px, py):
+        out, tfin, tres, dres, nproc = fwd_call(counts, geo, val_t, px, py)
+        return (out, tfin), (geo, val_t, px, py, tres, dres, nproc, tfin)
 
     def composite_bwd(res, cts):
-        xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin = res
+        geo, val_t, px, py, tres, dres, nproc, tfin = res
         g_out, g_tfin = cts
-        dxy, dcon, dopa, dval = bwd_call(
-            xy_t, con_t, opa, val_t, px, py, tres, dres, nproc, tfin, g_out, g_tfin
+        dgeo, dval = bwd_call(
+            geo, val_t, px, py, tres, dres, nproc, tfin, g_out, g_tfin
         )
-        return None, dxy, dcon, dopa, dval, None, None
+        return None, dgeo, dval, None, None
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -370,11 +368,15 @@ def composite_tiles_pallas(
     composite = _make_composite(cfg, T, K, C, npix)
     if counts is None:
         counts = jnp.full((T,), K, jnp.int32)
+    # One packed [T, 6, K] geometry operand: the kernels load each chunk's
+    # six per-entry scalars with a single [6, G] -> [G, 6] transpose instead
+    # of six lane-vector column broadcasts (relayouts).
+    geo = jnp.concatenate(
+        [xy, conic, opacity[..., None]], axis=-1
+    ).transpose(0, 2, 1)
     out, tfin = composite(
         counts.astype(jnp.int32).reshape(1, T),
-        xy.transpose(0, 2, 1),
-        conic.transpose(0, 2, 1),
-        opacity[:, None, :],
+        geo,
         values.transpose(0, 2, 1),
         px[:, None, :],
         py[:, None, :],

@@ -585,10 +585,10 @@ def _rank_compact_lanes_body(
         def _skip(sb=sb):
             for gi in range(ng):
                 glo = sb * s_groups[gi]
-                slot_refs[gi][glo:glo + s_groups[gi], :] = jnp.zeros(
-                    (s_groups[gi], 1), jnp.float32)
-                gout_refs[gi][glo:glo + s_groups[gi], :] = jnp.zeros(
-                    (s_groups[gi], 1), jnp.float32)
+                slot_refs[gi][0, glo:glo + s_groups[gi]] = jnp.zeros(
+                    (s_groups[gi],), jnp.float32)
+                gout_refs[gi][0, glo:glo + s_groups[gi]] = jnp.zeros(
+                    (s_groups[gi],), jnp.float32)
 
         @pl.when(gb < nb_valid)
         def _main(sb=sb):
@@ -678,19 +678,20 @@ def _rank_compact_lanes_body(
                 for gi, ds in enumerate(groups):
                     Sg = s_groups[gi]
                     siota = jax.lax.broadcasted_iota(jnp.int32, (Sg, SB), 0)
-                    out_slot = jnp.zeros((Sg, 1), jnp.float32)
-                    out_gid = jnp.zeros((Sg, 1), jnp.float32)
+                    out_slot = jnp.zeros((Sg,), jnp.float32)
+                    out_gid = jnp.zeros((Sg,), jnp.float32)
                     for d in ds:
                         hit = siota == pd_all[d][None, :]   # [Sg, SB]
                         out_slot = out_slot + jnp.sum(
-                            jnp.where(hit, slot1[d][None, :], 0.0),
-                            axis=1, keepdims=True)
+                            jnp.where(hit, slot1[d][None, :], 0.0), axis=1)
                         out_gid = out_gid + jnp.sum(
                             jnp.where(hit, (gid * vf[d])[None, :], 0.0),
-                            axis=1, keepdims=True)
+                            axis=1)
+                    # one [Sg] column->row relayout per region store; the
+                    # [Sg, 1] column form pads lanes 128x in VMEM and HBM
                     glo = sb * Sg
-                    slot_refs[gi][glo:glo + Sg, :] = out_slot
-                    gout_refs[gi][glo:glo + Sg, :] = out_gid
+                    slot_refs[gi][0, glo:glo + Sg] = out_slot
+                    gout_refs[gi][0, glo:glo + Sg] = out_gid
                 dropped_ref[0, 0, :] += jnp.full((128,), dropped, jnp.float32)
 
 
@@ -720,7 +721,7 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
         [pl.BlockSpec((1, D, Pb), lambda b, c, *_: (0, 0, b),
                       memory_space=pltpu.VMEM)]
         + [
-            pl.BlockSpec((nsb * sg, 1), lambda b, c, *_: (b, 0),
+            pl.BlockSpec((1, nsb * sg), lambda b, c, *_: (0, b),
                          memory_space=pltpu.VMEM)
             for sg in s_groups
         ] * 2
@@ -733,7 +734,7 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
     )
     out_shape = (
         [jax.ShapeDtypeStruct((1, D, P), jnp.float32)]  # ranks (scratch-like)
-        + [jax.ShapeDtypeStruct((nb * sg, 1), jnp.float32)
+        + [jax.ShapeDtypeStruct((1, nb * sg), jnp.float32)
            for sg in s_groups] * 2
         + [
             jax.ShapeDtypeStruct((num_tiles_padded, 1), jnp.int32),
@@ -790,8 +791,8 @@ def compute_compact_entries_lanes_pallas(
     slot_parts = outs[1:1 + ng]
     gid_parts = outs[1 + ng:1 + 2 * ng]
     counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
-    slot = jnp.concatenate([p[:, 0] for p in slot_parts]).astype(jnp.int32) - 1
-    gid = jnp.concatenate([p[:, 0] for p in gid_parts]).astype(jnp.int32)
+    slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
+    gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
     return (
         slot, gid, counts[:num_tiles, 0],
         jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
