@@ -61,14 +61,15 @@ def main():
     configs = [
         # K=2048 keeps the tile cap drop-free on this scene; compaction
         # (lanes kernel) cuts the table scatter from P*D=8M rows to
-        # (P/256)*1.25*S rows.
-        ("K=2048 uncompacted (r2 config)",
-         dict(max_per_tile=2048, rank_block_slots=0)),
-        ("K=2048 S=512 grouped (lanes)",
-         dict(max_per_tile=2048, rank_block_slots=512,
+        # (P/256)*1.25*S (grouped) or (P/256)*S (flat) rows. Flat regions
+        # tolerate per-sub-block skew that overflows the grouped tail caps.
+        ("K=2048 S=896 flat (lanes)",
+         dict(max_per_tile=2048, rank_block_slots=896,
+              rank_block_grouped=False,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=2048 S=768 grouped (lanes)",
-         dict(max_per_tile=2048, rank_block_slots=768,
+        ("K=2048 S=1024 flat (lanes)",
+         dict(max_per_tile=2048, rank_block_slots=1024,
+              rank_block_grouped=False,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
     ]
     for label, kw in configs:

@@ -83,15 +83,19 @@ def _gn(p, name, x, num_groups: int, act: bool = True, eps: float = 1e-5) -> jnp
 
 
 def _maxpool_same(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
-    """Max-pool with TF dynamic SAME padding.
-
-    Measured dead end (scripts/perf_stem.py, v5e): replacing the
-    select_and_scatter gradient with an equality-mask custom VJP of strided
-    slices+adds is SLOWER (3.66 vs 2.92 ms f/g at stem resolution) — the
-    strided updates lower as scatters. Keep XLA's native gradient."""
+    """Max-pool with TF dynamic SAME padding, run SEPARABLY (1xk then kx1):
+    forward-identical (max is associative); gradients measured identical on
+    continuous activations (exact ties could route subgradients differently
+    — the same latitude CUDA atomics have). The backward becomes two small
+    select_and_scatters instead of one k*k-tap one — 1.55 vs 1.83 ms f/g at
+    stem resolution (scripts/perf_maxpool.py, v5e; the equality-mask custom
+    VJP was an earlier dead end at 3.66)."""
     x = _same_pad(x, k, s, value=0.0)
+    r = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 1, k), (1, 1, 1, s), "VALID"
+    )
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID"
+        r, -jnp.inf, jax.lax.max, (1, 1, k, 1), (1, 1, s, 1), "VALID"
     )
 
 

@@ -162,14 +162,12 @@ def bin_gaussians(
         and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
         and P % Pb == 0
     )
-    # Block compaction only pays off (and only stays drop-free) when entry
-    # counts per 256-Gaussian block stay well under S — true for the <=1024
-    # tile grids of the few-shot protocol (504x378 @ tile=16/32). On larger
-    # grids splats span more tiles and S=512 measurably drops entries
-    # (14.6k at 1008x756 @ tile=16 = 3024 tiles) while larger S costs as
-    # much as no compaction, so fall through to the uncompacted scatter
-    # there; drops escalate through the Trainer's telemetry ladder anyway.
-    if use_kernel and cfg.rank_block_slots > 0 and n_local <= 1024:
+    # Block compaction needs slot ids (local*K + rank) exact in f32 -> gate
+    # on n_local * K < 2^24. Per-sub-block S capacity must cover the entry
+    # load (more tiles per splat at smaller cfg.tile -> larger S); drops are
+    # counted in overflow telemetry and the Trainer's ladder escalates S
+    # (and eventually to 0 = uncompacted P*D scatter) when they appear.
+    if use_kernel and cfg.rank_block_slots > 0 and n_local * K < (1 << 24):
         if cfg.rank_kernel_lanes:
             from sdpgs_tpu.ops.rasterize.rank_pallas import (
                 compute_compact_entries_lanes_pallas,

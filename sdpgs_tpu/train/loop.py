@@ -203,9 +203,10 @@ class Trainer:
         workload, losses are never silent.
 
         Ladder: grouped compaction regions (fastest, tightest capacity)
-        -> flat S (tolerates ~20x more growth) -> compaction off (larger S
-        costs as much as off; measured S=1024 ~= S=0 on v5e) -> double the
-        per-tile cap K (the remaining drop source) up to a ceiling."""
+        -> flat S (tolerates ~20x more growth) -> flat 2x S (the lanes
+        kernel keeps larger S cheaper than uncompacted: 225 vs 280 ms at
+        1M Gaussians, r3) -> compaction off -> double the per-tile cap K
+        (the remaining drop source) up to a ceiling."""
         import dataclasses
 
         r = self.cfg.raster
@@ -217,6 +218,11 @@ class Trainer:
         if kernel_on and r.rank_block_grouped:
             new = dataclasses.replace(r, rank_block_grouped=False)
             desc = "block compaction grouped -> flat"
+        elif kernel_on and r.rank_block_slots < 2048:
+            new = dataclasses.replace(
+                r, rank_block_slots=r.rank_block_slots * 2)
+            desc = (f"block compaction S={r.rank_block_slots} -> "
+                    f"{new.rank_block_slots} (flat)")
         elif kernel_on:
             new = dataclasses.replace(r, rank_block_slots=0)
             desc = f"block compaction S={r.rank_block_slots} -> off"

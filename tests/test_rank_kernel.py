@@ -414,3 +414,41 @@ def test_lanes_kernel_matches_row_kernel(rng):
             if int(ref.overflow) == 0:
                 np.testing.assert_array_equal(
                     np.asarray(got.tile_index), np.asarray(ref.tile_index))
+
+
+def test_compact_kernel_many_tiles(rng):
+    """The compaction gate is f32 slot-id precision (n_local*K < 2^24), not
+    a tile-count limit: a 2048-tile grid (chunked carry, nc > 1) matches the
+    scan path exactly."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians, tile_grid
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    P = 512
+    W, H = 512, 256  # @tile=8 -> 64 x 32 = 2048 tiles
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(
+            np.stack([rng.uniform(-10, W + 10, P), rng.uniform(-10, H + 10, P)],
+                     -1).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 12, P).astype(np.float32)),
+    )
+    base = dict(tile=8, max_per_tile=32, max_tiles_per_gaussian=8, chunk=32)
+    ref = bin_gaussians(prep, W, H, RasterizeConfig(**base, use_rank_kernel=False))
+    tiles_x, tiles_y = tile_grid(W, H, 8)
+    assert tiles_x * tiles_y == 2048
+    for lanes in (False, True):
+        cfg = RasterizeConfig(**base, interpret_kernels=True,
+                              rank_block_slots=2048, rank_block_grouped=False,
+                              rank_kernel_lanes=lanes)
+        got = bin_gaussians(prep, W, H, cfg)
+        assert int(got.overflow) == int(ref.overflow), lanes
+        np.testing.assert_array_equal(np.asarray(got.tile_counts),
+                                      np.asarray(ref.tile_counts))
+        if int(ref.overflow) == 0:
+            np.testing.assert_array_equal(np.asarray(got.tile_index),
+                                          np.asarray(ref.tile_index))

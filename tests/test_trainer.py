@@ -130,7 +130,16 @@ def test_block_slot_escalation_policy():
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(90)
-    assert t.cfg.raster.rank_block_slots == 0       # flat -> off
+    assert t.cfg.raster.rank_block_slots == 1024    # flat S=512 -> 1024
+    assert not t._steps
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(40)
+    assert t.cfg.raster.rank_block_slots == 2048    # flat S=1024 -> 2048
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(15)
+    assert t.cfg.raster.rank_block_slots == 0       # flat S=2048 -> off
     assert not t._steps
     # compaction exhausted: further overflow doubles the per-tile cap K
     t._steps = {"dummy": object()}
