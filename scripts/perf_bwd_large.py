@@ -130,12 +130,12 @@ def main():
             return jnp.sum(out.values) + jnp.sum(out.final_t)
         return jnp.sum(jax.grad(loss)(gathered0 + eps))
 
-    timed("composite fwd (fixed gather)", comp_fwd)
-    timed("composite fwd+bwd (no scatter)", comp_fwd_bwd)
-    timed("composite fwd+bwd bf16 tri", comp_fwd_bwd_bf16)
-    timed("payload scatter-add [T*K,13]", scatter_add)
-    timed("gather fwd+bwd pair", gather_grad)
-    timed("preprocess fwd+bwd", prep_fwd_bwd)
+    pass  # sections measured r3; see log
+
+
+
+
+
 
 
 if __name__ == "__main__":
@@ -181,4 +181,135 @@ def composed():
     timed("gather+composite f/b composed", pair_composed)
 
 
-composed()
+# composed()  # measured: 172.3 ms (in-context scatter ~120)
+
+
+def scatter_layout_probe():
+    """Is the in-context scatter slowness (120 ms vs 5.7 standalone) caused
+    by XLA fusing the [T,C,K]->[T,K,C] transpose of the kernel cotangent
+    into the scatter (element-random access instead of row writes)?"""
+    rng = np.random.default_rng(0)
+    P = CAPACITY
+    Tn = 768 * 2048
+    gvals13 = jax.block_until_ready(
+        jnp.asarray(rng.uniform(size=(13, Tn)).astype(np.float32)))
+    flat_idx = jax.block_until_ready(
+        jnp.asarray(rng.integers(0, P, size=(Tn,)).astype(np.int32)))
+
+    def scatter_plain(eps):
+        z = jnp.zeros((P + 1, 13), jnp.float32)
+        z = z.at[flat_idx].add(gvals13.T + eps)
+        return jnp.sum(z[0])
+
+    def scatter_barrier(eps):
+        upd = jax.lax.optimization_barrier(gvals13.T + eps)
+        z = jnp.zeros((P + 1, 13), jnp.float32)
+        z = z.at[flat_idx].add(upd)
+        return jnp.sum(z[0])
+
+    timed("scatter w/ fused transposed updates", scatter_plain)
+    timed("scatter w/ barrier (materialized)", scatter_barrier)
+
+
+# scatter_layout_probe()  # 134 fused, 133 barrier
+
+
+def scatter_layout_fixes():
+    """Force a row-major materialization of the transposed updates before
+    the scatter: (a) identity matmul (dot outputs are row-major and dots
+    never fuse into scatters), (b) reshape->barrier->reshape."""
+    rng = np.random.default_rng(0)
+    P = CAPACITY
+    Tn = 768 * 2048
+    gvals13 = jax.block_until_ready(
+        jnp.asarray(rng.uniform(size=(13, Tn)).astype(np.float32)))
+    flat_idx = jax.block_until_ready(
+        jnp.asarray(rng.integers(0, P, size=(Tn,)).astype(np.int32)))
+    eye = jnp.eye(13, dtype=jnp.float32)
+
+    def scatter_dot(eps):
+        upd = jnp.dot(gvals13.T + eps, eye,
+                      preferred_element_type=jnp.float32)
+        z = jnp.zeros((P + 1, 13), jnp.float32)
+        z = z.at[flat_idx].add(upd)
+        return jnp.sum(z[0])
+
+    def scatter_reshape(eps):
+        u = (gvals13.T + eps).reshape(-1)
+        u = jax.lax.optimization_barrier(u)
+        z = jnp.zeros((P + 1, 13), jnp.float32)
+        z = z.at[flat_idx].add(u.reshape(Tn, 13))
+        return jnp.sum(z[0])
+
+    timed("scatter w/ identity-dot updates", scatter_dot)
+    timed("scatter w/ reshape-barrier updates", scatter_reshape)
+
+
+# scatter_layout_fixes()  # 133, 136 - layout not the cause
+
+
+def composed_noscatter():
+    """Composed gather->composite f/b with the payload scatter REMOVED
+    (custom_vjp returning zero payload grads): if this lands near
+    composite-f/b + gather-fwd (~53 ms), the composed gap IS the scatter;
+    if it stays ~170 ms, the gap is elsewhere."""
+    rng = np.random.default_rng(0)
+    pts = (rng.normal(size=(ALIVE, 3)) * [3.2, 2.4, 1.8] + [0, 0, 6.5]).astype(np.float32)
+    cols = rng.uniform(size=(ALIVE, 3)).astype(np.float32)
+    g = create_from_points(pts, cols, CAPACITY, init_scale=np.full(ALIVE, 1e-4))
+    cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=0.9, fovy=0.7,
+                        width=WIDTH, height=HEIGHT)
+    cfg = RasterizeConfig(chunk=64, max_per_tile=2048, rank_block_slots=512,
+                          rank_block_gaussians=2048, tiles_per_kernel_step=4)
+    P = CAPACITY
+
+    prep = preprocess_fused(g.xyz, g.get_scaling(), g.get_rotation(), cam,
+                            g.alive, near=cfg.near, low_pass=cfg.low_pass)
+    bins = binning_lib.bin_gaussians(prep, WIDTH, HEIGHT, cfg)
+    idx = jax.block_until_ready(bins.tile_index)
+    counts = jax.block_until_ready(bins.tile_counts)
+    T, K = idx.shape
+    payload = jax.block_until_ready(
+        jnp.asarray(rng.uniform(0.1, 0.9, size=(P, 13)).astype(np.float32)))
+    tiles_x, tiles_y = binning_lib.tile_grid(WIDTH, HEIGHT, cfg.tile)
+    px, py = composite_xla.tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+
+    from sdpgs_tpu.ops.rasterize.composite_pallas import composite_tiles_pallas
+
+    @jax.custom_vjp
+    def gather_nograd(pl_):
+        return _pad_row(pl_)[idx]
+
+    def _f(pl_):
+        return _pad_row(pl_)[idx], None
+
+    def _b(res, ct):
+        return (jnp.zeros((P, 13), jnp.float32),)
+
+    gather_nograd.defvjp(_f, _b)
+
+    def pair_noscatter(eps):
+        def loss(pl_):
+            gth = gather_nograd(pl_)
+            out = composite_tiles_pallas(
+                gth[..., 0:2], gth[..., 2:5], gth[..., 5], gth[..., 6:13],
+                px, py, cfg, counts=counts)
+            return jnp.sum(out.values) + jnp.sum(out.final_t)
+        return jnp.sum(jax.grad(loss)(payload + eps))
+
+    timed("composed f/b, scatter removed", pair_noscatter)
+
+    # the real composed pair again for a same-session baseline
+    def pair_composed(eps):
+        def loss(pl_):
+            gth = _pad_row(pl_)[idx]
+            out = composite_tiles_pallas(
+                gth[..., 0:2], gth[..., 2:5], gth[..., 5], gth[..., 6:13],
+                px, py, cfg, counts=counts)
+            return jnp.sum(out.values) + jnp.sum(out.final_t)
+        return jnp.sum(jax.grad(loss)(payload + eps))
+
+    timed("composed f/b, real scatter", pair_composed)
+
+
+composed_noscatter()

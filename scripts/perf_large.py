@@ -59,18 +59,18 @@ def main():
     del g0, b0, prep
 
     configs = [
-        # K=2048 keeps the tile cap drop-free on this scene; compaction
-        # (lanes kernel) cuts the table scatter from P*D=8M rows to
-        # (P/256)*1.25*S (grouped) or (P/256)*S (flat) rows. Flat regions
-        # tolerate per-sub-block skew that overflows the grouped tail caps.
-        ("K=2048 S=896 flat (lanes)",
-         dict(max_per_tile=2048, rank_block_slots=896,
-              rank_block_grouped=False,
+        # gather-based payload backward auto-on (1.57M table rows >= 2^20):
+        # replaces the ~120 ms scatter-add transpose with D row-gathers.
+        ("K=2048 uncompacted + grad-gather",
+         dict(max_per_tile=2048, rank_block_slots=0,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=2048 S=1024 flat (lanes)",
-         dict(max_per_tile=2048, rank_block_slots=1024,
-              rank_block_grouped=False,
+        ("K=2048 S=512 grouped + grad-gather",
+         dict(max_per_tile=2048, rank_block_slots=512,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
+        ("K=2048 S=512 grouped, grad-gather OFF",
+         dict(max_per_tile=2048, rank_block_slots=512,
+              rank_block_gaussians=2048, tiles_per_kernel_step=4,
+              grad_gather_min_rows=1 << 30)),
     ]
     for label, kw in configs:
         tc = TrainConfig()

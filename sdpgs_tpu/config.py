@@ -42,6 +42,21 @@ class RasterizeConfig:
                                     # (= compaction off, full P*D scatter)
                                     # when they appear.
     max_tiles_per_gaussian: int = 8   # D: per-Gaussian tile-rect capacity
+    grad_gather_min_rows: int = 1 << 62
+                                    # payload-gradient backward mode: when
+                                    # the table has >= this many (tile, K)
+                                    # rows, replace the scatter-add
+                                    # transpose with D exact row-gathers
+                                    # per Gaussian (each entry's
+                                    # (tile*K + rank) slot is unique;
+                                    # dropped entries point at sentinel
+                                    # slots whose grads are structurally
+                                    # zero). Exactness-verified escape
+                                    # hatch, DISABLED by default: measured
+                                    # slower on v5e even at 1.57M rows
+                                    # (235.8 vs 221.2 ms/step; the random-
+                                    # access cost moves to the D gathers +
+                                    # the unsort instead of vanishing).
     rank_kernel_lanes: bool = True  # lane-major compact rank kernel:
                                     # per-Gaussian vectors live on lanes so
                                     # the ~30 sublane<->lane relayouts per

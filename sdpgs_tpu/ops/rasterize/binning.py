@@ -44,8 +44,14 @@ class Binning(NamedTuple):
     tile_index: jnp.ndarray   # [num_tiles, K] int32 into [P+1]-padded payloads
     tile_counts: jnp.ndarray  # [num_tiles] int32 live entries per tile (<= K)
     overflow: jnp.ndarray     # scalar int32: entries dropped by the K cap
-    clipped: jnp.ndarray      # scalar int32: tile slots dropped by the D cap
+    clipped: jnp.ndarray     # scalar int32: tile slots dropped by the D cap
     num_entries: jnp.ndarray  # scalar int32: total (tile, gaussian) pairs
+    # Inverse entry map for the gather-based payload backward (built only
+    # when n_local*K >= cfg.grad_gather_min_rows — see rasterizer.py):
+    entry_slot: jnp.ndarray | None = None  # [D, P] int32 flat local*K+rank
+                                           # per depth-SORTED Gaussian;
+                                           # sentinel n_local*K = not in table
+    order: jnp.ndarray | None = None       # [P] original id per sorted row
 
 
 def tile_grid(width: int, height: int, tile: int) -> tuple[int, int]:
@@ -167,32 +173,44 @@ def bin_gaussians(
     # load (more tiles per splat at smaller cfg.tile -> larger S); drops are
     # counted in overflow telemetry and the Trainer's ladder escalates S
     # (and eventually to 0 = uncompacted P*D scatter) when they appear.
+    # Inverse entry map for the gather-based payload backward: only built
+    # when the table is big enough that the scatter-add transpose would be
+    # the bottleneck (measured super-linear: ~120 ms at 1.57M rows).
+    want_slot = n_local * K >= cfg.grad_gather_min_rows
+
     if use_kernel and cfg.rank_block_slots > 0 and n_local * K < (1 << 24):
         if cfg.rank_kernel_lanes:
             from sdpgs_tpu.ops.rasterize.rank_pallas import (
                 compute_compact_entries_lanes_pallas,
             )
 
-            slot, gid_c, counts_k, dropped = compute_compact_entries_lanes_pallas(
-                packed_s, order, n_local, tiles_x, K, D,
-                S=cfg.rank_block_slots,
-                t0=None if tile_range is None else t0,
-                grouped=cfg.rank_block_grouped,
-                n_valid=n_valid,
-                Pb=Pb,
+            slot, gid_c, counts_k, dropped, rank_dp = (
+                compute_compact_entries_lanes_pallas(
+                    packed_s, order, n_local, tiles_x, K, D,
+                    S=cfg.rank_block_slots,
+                    t0=None if tile_range is None else t0,
+                    grouped=cfg.rank_block_grouped,
+                    n_valid=n_valid,
+                    Pb=Pb,
+                    return_rank=True,
+                )
             )
+            rank_pd = rank_dp.T
         else:
             from sdpgs_tpu.ops.rasterize.rank_pallas import (
                 compute_compact_entries_pallas,
             )
 
-            slot, gid_c, counts_k, dropped = compute_compact_entries_pallas(
-                packed_s, tid, order, n_local, tiles_x, K,
-                S=cfg.rank_block_slots,
-                t0=None if tile_range is None else t0,
-                grouped=cfg.rank_block_grouped,
-                n_valid=n_valid,
-                Pb=Pb,
+            slot, gid_c, counts_k, dropped, rank_pd = (
+                compute_compact_entries_pallas(
+                    packed_s, tid, order, n_local, tiles_x, K,
+                    S=cfg.rank_block_slots,
+                    t0=None if tile_range is None else t0,
+                    grouped=cfg.rank_block_grouped,
+                    n_valid=n_valid,
+                    Pb=Pb,
+                    return_rank=True,
+                )
             )
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
@@ -202,12 +220,18 @@ def bin_gaussians(
         slot = jnp.where(slot >= 0, slot, jnp.int32(n_local * K))  # -> drop
         table = jnp.full((n_local * K,), P, dtype=jnp.int32)
         table = table.at[slot].set(gid_c, mode="drop")
+        entry_slot = (
+            _entry_slot_map(tid, rank_pd, entry_valid, K, n_local, t0)
+            if want_slot else None
+        )
         return Binning(
             tile_index=table.reshape(n_local, K),
             tile_counts=tile_counts,
             overflow=overflow,
             clipped=clipped,
             num_entries=num_entries,
+            entry_slot=entry_slot,
+            order=order if want_slot else None,
         )
     if use_kernel:
         from sdpgs_tpu.ops.rasterize.rank_pallas import compute_ranks_pallas
@@ -220,7 +244,7 @@ def bin_gaussians(
         tile_counts = jnp.minimum(counts_k, K)
         return _scatter_table(
             tid, rank, order, P, D, K, n_local, t0, entry_valid,
-            tile_counts, overflow, clipped, num_entries,
+            tile_counts, overflow, clipped, num_entries, want_slot,
         )
 
     Tc = _tile_chunk(n_local, P)
@@ -266,12 +290,24 @@ def bin_gaussians(
     tile_counts = jnp.minimum(counts.reshape(-1)[:n_local], K)
     return _scatter_table(
         tid, rank, order, P, D, K, n_local, t0, entry_valid,
-        tile_counts, overflow.astype(jnp.int32), clipped, num_entries,
+        tile_counts, overflow.astype(jnp.int32), clipped, num_entries, want_slot,
     )
 
 
+def _entry_slot_map(tid, rank, entry_valid, K, n_local, t0):
+    """[P, D] entry arrays -> [D, P] flat table-slot map (sentinel =
+    n_local*K for entries not in the table). Entries dropped by the K cap or
+    block-slot capacity keep their unique (tile, rank) slot, whose table row
+    holds the dead sentinel — the composite emits exactly-zero gradients
+    there, so gathering it is exact (see Binning.entry_slot)."""
+    local = tid - t0
+    keep = entry_valid & (rank < K) & (local >= 0) & (local < n_local)
+    return jnp.where(keep, local * K + rank, jnp.int32(n_local * K)).T
+
+
 def _scatter_table(tid, rank, order, P, D, K, n_local, t0, entry_valid,
-                   tile_counts, overflow, clipped, num_entries) -> Binning:
+                   tile_counts, overflow, clipped, num_entries,
+                   want_slot=False) -> Binning:
     # --- 4. dense table via one bounded scatter -----------------------------
     local = tid - t0
     keep = entry_valid & (rank < K) & (local >= 0) & (local < n_local)
@@ -280,6 +316,16 @@ def _scatter_table(tid, rank, order, P, D, K, n_local, t0, entry_valid,
     table = jnp.full((n_local * K,), P, dtype=jnp.int32)
     table = table.at[slot.reshape(-1)].set(gid.reshape(-1), mode="drop")
 
+    if want_slot:
+        return Binning(
+            tile_index=table.reshape(n_local, K),
+            tile_counts=tile_counts,
+            overflow=overflow,
+            clipped=clipped,
+            num_entries=num_entries,
+            entry_slot=slot.T,
+            order=order,
+        )
     return Binning(
         tile_index=table.reshape(n_local, K),
         tile_counts=tile_counts,

@@ -481,9 +481,11 @@ def compute_compact_entries_pallas(
     grouped: bool = True,
     n_valid: jnp.ndarray | None = None,
     Pb: int = 256,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_rank: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
-           counts [num_tiles] i32, dropped scalar i32).
+           counts [num_tiles] i32, dropped scalar i32
+           [, rank [P, D] i32 when return_rank]).
 
     ``slot`` already folds the within-tile rank: ``tile * K + rank`` for
     entries with rank < K (shard-local tile when ``t0`` is given);
@@ -509,10 +511,13 @@ def compute_compact_entries_pallas(
     counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
     slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
     gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
-    return (
+    base = (
         slot, gid, counts[0, :num_tiles],
         jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
     )
+    if return_rank:
+        return base + (outs[0][0].astype(jnp.int32),)   # [P, D]
+    return base
 
 
 # --------------------------------------------------------------------------
@@ -772,10 +777,12 @@ def compute_compact_entries_lanes_pallas(
     grouped: bool = True,
     n_valid: jnp.ndarray | None = None,
     Pb: int = 256,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_rank: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Lane-major variant of :func:`compute_compact_entries_pallas` — same
     contract, but needs no [P, D] tid input (rect-slot tiles are recomputed
-    in-kernel from the packed rects)."""
+    in-kernel from the packed rects). ``return_rank`` appends the [D, P]
+    per-entry ranks (int32)."""
     P = packed_sorted.shape[0]
     if Tc is None:
         Tc = _default_tc(num_tiles)
@@ -793,7 +800,10 @@ def compute_compact_entries_lanes_pallas(
     counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
     slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
     gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
-    return (
+    base = (
         slot, gid, counts[:num_tiles, 0],
         jnp.sum(dropped[:, 0, 0]).astype(jnp.int32),
     )
+    if return_rank:
+        return base + (outs[0][0].astype(jnp.int32),)   # [D, P]
+    return base

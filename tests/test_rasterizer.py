@@ -178,3 +178,45 @@ def test_overflow_telemetry():
         jnp.ones((n,)), cam, jnp.zeros(3), tiny,
     )
     assert int(out.overflow) > 0
+
+
+def test_gather_backward_matches_scatter(rng):
+    """The gather-based payload backward (grad_gather_min_rows exceeded)
+    produces the same gradients as the scatter-add transpose — including
+    with K-cap overflow, where dropped entries must contribute zero."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.core.camera import Camera
+    from sdpgs_tpu.core.gaussians import create_from_points
+    from sdpgs_tpu.render import render
+
+    n, cap = 128, 256
+    pts = (rng.normal(size=(n, 3)) * 0.4 + [0, 0, 3.0]).astype(np.float32)
+    g = create_from_points(pts, rng.uniform(size=(n, 3)).astype(np.float32),
+                           cap, init_scale=np.full(n, 0.03))
+    cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=0.9, fovy=0.7,
+                        width=64, height=48)
+    bg = jnp.zeros(3)
+    tgt = jnp.asarray(rng.uniform(size=(48, 64, 3)).astype(np.float32))
+
+    # max_per_tile=8 forces K-cap overflow on this scene
+    for K in (64, 8):
+        base = dict(tile=16, max_per_tile=K, max_tiles_per_gaussian=8,
+                    chunk=8, use_pallas=False)
+
+        def loss(params, cfg):
+            out = render(cam, g.replace(**params), cfg, bg, 1)
+            return (jnp.sum((out.color - tgt) ** 2) + jnp.sum(out.depth)
+                    + jnp.sum(out.feature ** 2))
+
+        params = {"xyz": g.xyz, "opacity": g.opacity, "scaling": g.scaling,
+                  "rotation": g.rotation, "features_dc": g.features_dc,
+                  "language_feature": g.language_feature}
+        g_sc = jax.grad(loss)(params, RasterizeConfig(**base))
+        g_ga = jax.grad(loss)(
+            params, RasterizeConfig(**base, grad_gather_min_rows=0))
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(g_ga[k]), np.asarray(g_sc[k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{k} K={K}")
