@@ -113,8 +113,20 @@ def _conv_transpose_block(p, name, x, factor):
 
 
 def _resize_bilinear(x, out_h, out_w, align_corners):
-    """[B, C, H, W] bilinear resize, both align_corners conventions
-    (jax.image.resize only provides half-pixel centers)."""
+    """[B, C, H, W] bilinear resize, both align_corners conventions.
+
+    Routed through the matmul resize (ops/resize.py, torch-parity weights):
+    the gather-based formulation below costs ~2x more on TPU (jnp.take
+    chains vs two MXU matmuls) — kept as the reference implementation for
+    the fallback path."""
+    from sdpgs_tpu.ops.resize import resize2d
+
+    return resize2d(x, out_h, out_w, method="bilinear",
+                    align_corners=align_corners)
+
+
+def _resize_bilinear_gather(x, out_h, out_w, align_corners):
+    """Original gather-based formulation (golden for the matmul path)."""
     B, C, H, W = x.shape
 
     def axis_coords(n_in, n_out):

@@ -40,3 +40,18 @@ def test_resize_phases_match_strided_view(rng):
         for px in range(2):
             np.testing.assert_allclose(
                 ph[:, :, py, px], full[:, :, py::2, px::2], rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_bilinear_matches_gather_formulation(rng):
+    """dpt._resize_bilinear now routes through the matmul resize; it must
+    match the original gather-based formulation on both align_corners
+    conventions (the formulation the torch-parity tests were built on)."""
+    from sdpgs_tpu.models.dpt import _resize_bilinear, _resize_bilinear_gather
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 24, 32)).astype(np.float32))
+    for ac in (False, True):
+        for oh, ow in ((48, 64), (12, 16), (17, 23)):
+            a = np.asarray(_resize_bilinear(x, oh, ow, ac))
+            b = np.asarray(_resize_bilinear_gather(x, oh, ow, ac))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"ac={ac} {oh}x{ow}")
