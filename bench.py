@@ -102,16 +102,34 @@ def _make_pseudo(rng, cams):
         rng.uniform(1, 8, size=(len(cams), HEIGHT, WIDTH)).astype(np.float32)
     )
     # The reprojection z-buffer is parameter-independent; the Trainer
-    # precomputes it once per pseudo camera (train/loop.py:_reproj_for), so
-    # the bench does the same outside the timed loop.
+    # prefetches it for batches of upcoming pseudo cameras in one vmapped
+    # call (train/loop.py:_next_pseudo_reproj — each of the ~10k poses is
+    # sampled at most once, so there is no reuse to cache). The bench
+    # measures that batched precompute and charges the per-camera share to
+    # every pseudo step (returned as ``reproj_per_cam_s``).
     from sdpgs_tpu.losses import reproject_fused_depth
 
     K = cams[0].intrinsics_matrix()
     R_train = jnp.stack([c.view[:3, :3] for c in cams])
     t_train = jnp.stack([c.view[:3, 3] for c in cams])
-    fused, weight = jax.jit(reproject_fused_depth)(
-        train_depths, K, R_train, t_train, pcam.view[:3, :3], pcam.view[:3, 3]
+
+    B = 64  # Trainer.REPROJ_PREFETCH
+    angles = np.linspace(0, 2 * np.pi, B, endpoint=False)
+    R_ps = jnp.stack([jnp.asarray(np.eye(3), jnp.float32)] * B)
+    t_ps = jnp.asarray(
+        np.stack([[0.05 * np.cos(a), 0.05 * np.sin(a), 0.0] for a in angles]),
+        jnp.float32,
     )
+    batched = jax.jit(jax.vmap(
+        reproject_fused_depth, in_axes=(None, None, None, None, 0, 0)
+    ))
+    fused_b, weight_b = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
+    jax.block_until_ready(fused_b)
+    t0 = time.perf_counter()
+    fused_b, weight_b = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
+    jax.block_until_ready(fused_b)
+    reproj_per_cam_s = (time.perf_counter() - t0) / B
+    fused, weight = fused_b[0], weight_b[0]
     pseudo = PseudoInputs(
         camera=pcam,
         train_depths=train_depths,
@@ -124,7 +142,7 @@ def _make_pseudo(rng, cams):
         reproj_fused=fused,
         reproj_weight=weight,
     )
-    return pseudo, mono
+    return pseudo, mono, reproj_per_cam_s
 
 
 def _time_steps(step, state, args, iters):
@@ -164,7 +182,7 @@ def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
     )
 
     # --- pseudo-window flavor (DPT in the loop) --------------------------
-    pseudo, mono = _make_pseudo(rng, cams)
+    pseudo, mono, reproj_per_cam_s = _make_pseudo(rng, cams)
     g2, _, batch2 = _make_inputs(np.random.default_rng(0))
     state2 = TrainState.create(g2)
     pstep = make_train_step(
@@ -174,6 +192,9 @@ def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
         pstep, state2, (batch2, protos, bg, lr_scale, pseudo),
         iters=pseudo_timed_iters,
     )
+    # each real pseudo step consumes one fresh camera's precomputed warp
+    # (no pose reuse across the window) — charge the amortized share
+    pseudo_ips = 1.0 / (1.0 / pseudo_ips + reproj_per_cam_s)
 
     weighted = (PLAIN_ITERS + PSEUDO_ITERS) / (
         PLAIN_ITERS / plain_ips + PSEUDO_ITERS / pseudo_ips

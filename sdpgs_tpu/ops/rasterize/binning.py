@@ -162,10 +162,14 @@ def bin_gaussians(
     n_local = num_tiles if tile_range is None else tile_range[1]
 
     # --- 3. within-tile rank ------------------------------------------------
-    Pb = min(cfg.rank_block_gaussians, P)  # small capacities keep the kernel
+    # Grid block: clamp to the capacity; the kernels' sub-block granularity
+    # is 256, so capacities that are not multiples of 256 fall back to the
+    # scan path (use_kernel False) instead of tripping kernel asserts.
+    Pb = max(256, min(cfg.rank_block_gaussians, P))
     use_kernel = (
         cfg.use_rank_kernel
         and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
+        and P % 256 == 0
         and P % Pb == 0
     )
     # Block compaction needs slot ids (local*K + rank) exact in f32 -> gate

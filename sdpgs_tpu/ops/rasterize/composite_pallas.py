@@ -258,10 +258,18 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
 
     # Tiles per grid step: per-step overhead (DMA setup + dispatch) is a
     # large fraction of the per-tile cost at bench shapes, so batch tiles
-    # into each step. Largest configured tps that divides the grid.
+    # into each step. Largest configured tps that divides the grid AND
+    # keeps the backward kernel's per-step blocks within a conservative
+    # VMEM budget (the ladder can escalate K toward 8192: without the cap,
+    # a recompile at large K would die in Mosaic instead of running at a
+    # smaller tps).
+    def _tps_bytes(t):
+        per_tile = (6 + 2 * C + 1) * K + (2 * nchunk + 3 + C) * npix
+        return t * per_tile * 4 * 2          # f32, double-buffered pipeline
+
     tps = 1
     for cand in range(min(cfg.tiles_per_kernel_step, T), 0, -1):
-        if T % cand == 0:
+        if T % cand == 0 and _tps_bytes(cand) <= 8 * 1024 * 1024:
             tps = cand
             break
 

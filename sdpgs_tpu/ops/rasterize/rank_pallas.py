@@ -537,15 +537,6 @@ def compute_compact_entries_pallas(
 # --------------------------------------------------------------------------
 
 
-def _dy_dx(diota_f, rw_f, D, SBn):
-    """Per-entry rect-cell coordinates: floor((d + 0.5) / rw) is exact for
-    d < 8, rw < 256 (the +0.5 keeps exact-integer quotients from rounding
-    down through the f32 reciprocal)."""
-    dy = jnp.floor((diota_f + 0.5) / rw_f)
-    dx = diota_f - dy * rw_f
-    return dy, dx
-
-
 def _rank_compact_lanes_body(
     nb_valid, t0g, packed_ref, gin_ref, rank_ref, *rest,
     Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int, K: int,
@@ -618,6 +609,9 @@ def _rank_compact_lanes_body(
             excl = carry_c + within - mf                    # [Tc, SB]
 
             for d in range(D):
+                # floor((d + 0.5) / rw) == d // rw exactly for d < 8,
+                # rw < 256: the +0.5 keeps exact-integer quotients from
+                # rounding down through the f32 divide (same trick below).
                 dy = jnp.floor((d + 0.5) / rw_f)
                 dx = jnp.float32(d) - dy * rw_f
                 td = (

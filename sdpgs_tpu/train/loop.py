@@ -100,7 +100,7 @@ class Trainer:
         # itself at TPU speeds. views_per_batch > 1 turns on the TPU-side
         # view-batch data parallelism the reference lacks (SURVEY §2.3).
         self._batch_cache: Dict[tuple, ViewBatch] = {}
-        self._reproj_cache: Dict[int, tuple] = {}
+        self._reproj_queue: list = []
         self._reproj_fn = None
         # static pseudo-branch inputs
         tc = self.scene.train_cameras
@@ -145,21 +145,38 @@ class Trainer:
         i = self._rng.integers(0, len(self._pseudo_stack))
         return self._pseudo_stack.pop(int(i))
 
-    def _reproj_for(self, pseudo_idx: int, cam):
-        """Precomputed reprojection z-buffer for one pseudo camera
-        (losses.reproject_fused_depth): parameter-independent, so it is
-        computed once per camera (lazy, jitted) and reused for every step
-        that samples it — the in-step warp cost ~3.8 ms/step on v5e."""
-        if pseudo_idx not in self._reproj_cache:
+    REPROJ_PREFETCH = 64
+
+    def _next_pseudo_reproj(self):
+        """Next pseudo camera with its precomputed reprojection z-buffer
+        (losses.reproject_fused_depth — parameter-independent, so it lives
+        outside the differentiated step).
+
+        Pseudo cameras are sampled without replacement from ~10k generated
+        poses (reference pose_utils), so per-camera caching would get zero
+        hits and grow unbounded; instead the warps for the next
+        REPROJ_PREFETCH sampled cameras are computed in ONE vmapped call
+        (per-call dispatch dominates a single ~2 ms warp on the remote
+        chip) and held in a bounded queue (~B x 3 MB device memory)."""
+        if not self._reproj_queue:
+            idxs = [self._next_pseudo() for _ in range(self.REPROJ_PREFETCH)]
+            cams = [self.scene.pseudo_camera(i)[0] for i in idxs]
+            R = jnp.stack([c.view[:3, :3] for c in cams])
+            t = jnp.stack([c.view[:3, 3] for c in cams])
             if self._reproj_fn is None:
                 from sdpgs_tpu.losses import reproject_fused_depth
 
-                self._reproj_fn = jax.jit(reproject_fused_depth)
-            self._reproj_cache[pseudo_idx] = self._reproj_fn(
+                self._reproj_fn = jax.jit(jax.vmap(
+                    reproject_fused_depth, in_axes=(None, None, None, None, 0, 0)
+                ))
+            fused, weight = self._reproj_fn(
                 self._train_depths, self._K, self._R_train, self._t_train,
-                cam.view[:3, :3], cam.view[:3, 3],
+                R, t,
             )
-        return self._reproj_cache[pseudo_idx]
+            self._reproj_queue = [
+                (c, fused[j], weight[j]) for j, c in enumerate(cams)
+            ]
+        return self._reproj_queue.pop(0)
 
     # ---- events --------------------------------------------------------
     def _maybe_densify(self, iteration: int):
@@ -306,9 +323,7 @@ class Trainer:
             batch = self._next_batch()
             step = self._step_fn(sh_degree, in_pseudo)
             if in_pseudo:
-                pidx = self._next_pseudo()
-                cam, R, T = self.scene.pseudo_camera(pidx)
-                fused, weight = self._reproj_for(pidx, cam)
+                cam, fused, weight = self._next_pseudo_reproj()
                 pseudo = PseudoInputs(
                     camera=cam,
                     train_depths=self._train_depths,

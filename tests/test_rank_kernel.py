@@ -452,3 +452,30 @@ def test_compact_kernel_many_tiles(rng):
         if int(ref.overflow) == 0:
             np.testing.assert_array_equal(np.asarray(got.tile_index),
                                           np.asarray(ref.tile_index))
+
+
+def test_non_multiple_capacity_falls_back_to_scan(rng):
+    """Capacities that are not multiples of the kernels' 256-wide sub-block
+    fall back to the scan path instead of tripping kernel asserts
+    (regression: the Pb clamp briefly let P=128 through to the kernel)."""
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    for P in (128, 300, 768 + 32):
+        prep = Preprocessed(
+            valid=jnp.asarray(rng.random(P) > 0.2),
+            mean2d=jnp.asarray(rng.uniform(0, 150, (P, 2)).astype(np.float32)),
+            depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+            conic=jnp.ones((P, 3), jnp.float32),
+            radius=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        )
+        cfg = RasterizeConfig(tile=16, max_per_tile=64,
+                              max_tiles_per_gaussian=6, chunk=32,
+                              interpret_kernels=True)
+        ref = bin_gaussians(prep, 160, 128, RasterizeConfig(
+            tile=16, max_per_tile=64, max_tiles_per_gaussian=6, chunk=32,
+            use_rank_kernel=False))
+        got = bin_gaussians(prep, 160, 128, cfg)   # must not crash
+        np.testing.assert_array_equal(np.asarray(got.tile_index),
+                                      np.asarray(ref.tile_index), err_msg=str(P))

@@ -200,10 +200,23 @@ def test_gather_backward_matches_scatter(rng):
     bg = jnp.zeros(3)
     tgt = jnp.asarray(rng.uniform(size=(48, 64, 3)).astype(np.float32))
 
-    # max_per_tile=8 forces K-cap overflow on this scene
-    for K in (64, 8):
-        base = dict(tile=16, max_per_tile=K, max_tiles_per_gaussian=8,
-                    chunk=8, use_pallas=False)
+    # max_per_tile=8 forces K-cap overflow; the pallas variants route
+    # through the compact lanes/row kernels (interpret mode) so the
+    # entry_slot map from the kernel-returned ranks — and the zero-grads-at-
+    # sentinel-slots invariant of the Pallas composite — are exercised too.
+    variants = [
+        dict(tile=16, max_per_tile=64, max_tiles_per_gaussian=8, chunk=8,
+             use_pallas=False),
+        dict(tile=16, max_per_tile=8, max_tiles_per_gaussian=8, chunk=8,
+             use_pallas=False),
+        dict(tile=16, max_per_tile=128, max_tiles_per_gaussian=8, chunk=32,
+             use_pallas=True, interpret_kernels=True, rank_block_slots=64,
+             rank_kernel_lanes=True),   # S=64 forces block-slot drops
+        dict(tile=16, max_per_tile=128, max_tiles_per_gaussian=8, chunk=32,
+             use_pallas=True, interpret_kernels=True, rank_block_slots=2048,
+             rank_kernel_lanes=False),
+    ]
+    for base in variants:
 
         def loss(params, cfg):
             out = render(cam, g.replace(**params), cfg, bg, 1)
@@ -219,4 +232,4 @@ def test_gather_backward_matches_scatter(rng):
         for k in params:
             np.testing.assert_allclose(
                 np.asarray(g_ga[k]), np.asarray(g_sc[k]),
-                rtol=1e-5, atol=1e-6, err_msg=f"{k} K={K}")
+                rtol=1e-5, atol=1e-6, err_msg=f"{k} {base}")
