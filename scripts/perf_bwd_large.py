@@ -130,7 +130,14 @@ def main():
             return jnp.sum(out.values) + jnp.sum(out.final_t)
         return jnp.sum(jax.grad(loss)(gathered0 + eps))
 
-    pass  # sections measured r3; see log
+    # r3 measured (v5e): composite fwd 22.0, f/b 46.7 (bf16 tri 46.6),
+    # explicit scatter 121.8, "gather f/b pair" 5.7 (MEASUREMENT TRAP —
+    # XLA deletes a scatter whose output is only summed), preprocess 7.5.
+    timed("composite fwd (fixed gather)", comp_fwd)
+    timed("composite fwd+bwd (no scatter)", comp_fwd_bwd)
+    timed("composite fwd+bwd bf16 tri", comp_fwd_bwd_bf16)
+    timed("payload scatter-add [T*K,13]", scatter_add)
+    timed("preprocess fwd+bwd", prep_fwd_bwd)
 
 
 
@@ -312,4 +319,5 @@ def composed_noscatter():
     timed("composed f/b, real scatter", pair_composed)
 
 
-composed_noscatter()
+# composed_noscatter()  # measured: 6.8 ms no-scatter vs 175 ms real -> the
+# composed backward gap IS the scatter (~120 ms at 1.57M rows)
