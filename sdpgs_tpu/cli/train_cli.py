@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpips_weights", type=str, default="",
                    help=".npz LPIPS-VGG weights for eval reports")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--views_per_batch", type=int, default=1,
+                   help="views per training step (TPU data-parallel batch; "
+                        "must be a multiple of the mesh's data axis)")
+    p.add_argument("--mesh", type=str, default="",
+                   help="device mesh for multi-chip training, e.g. "
+                        "'data=4,gauss=2' or 'data=2,gauss=2,tile=2' "
+                        "(axes default to 1; product must divide the "
+                        "available device count)")
     # optimization overrides (reference per-scene flags, run_llff_mvs.sh)
     for f in dataclasses.fields(OptimizationConfig):
         # flags already declared explicitly above
@@ -69,6 +77,20 @@ def config_from_args(args):
     m.capacity = args.capacity
     m.dpt_weights = args.dpt_weights
     m.lpips_weights = args.lpips_weights
+
+    cfg.views_per_batch = args.views_per_batch
+    if args.mesh:
+        axes = {"data": 1, "gauss": 1, "tile": 1}
+        for part in args.mesh.split(","):
+            name, _, val = part.partition("=")
+            name = name.strip()
+            if name not in axes:
+                raise SystemExit(
+                    f"--mesh: unknown axis {name!r} (data/gauss/tile)")
+            axes[name] = int(val)
+        cfg.mesh_data = axes["data"]
+        cfg.mesh_gauss = axes["gauss"]
+        cfg.mesh_tile = axes["tile"]
 
     for f in dataclasses.fields(OptimizationConfig):
         v = getattr(args, f.name, None)

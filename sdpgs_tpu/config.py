@@ -221,8 +221,15 @@ class TrainConfig:
     raster: RasterizeConfig = field(default_factory=RasterizeConfig)
     seed: int = 0                   # reference seeds all RNGs to 0 (general_utils.py:140-142)
     views_per_batch: int = 1        # TPU data-parallel view batch (reference: 1)
-    mesh_data: int = 1              # device-mesh data axis size
-    mesh_model: int = 1             # device-mesh Gaussian-shard axis size
+    # Device mesh for the training driver (SURVEY §2.3; no reference
+    # counterpart — the reference is single-GPU). data shards the view batch
+    # (views_per_batch must be a multiple of mesh_data), gauss shards the
+    # Adam moments + densify stats (ZeRO-1), tile shards the rasterized tile
+    # grid (shard_map; zero forward collectives, one backward psum). The
+    # product must divide len(jax.devices()); 1x1x1 = single chip.
+    mesh_data: int = 1              # device-mesh data (view) axis size
+    mesh_gauss: int = 1             # device-mesh Gaussian-shard axis size
+    mesh_tile: int = 1              # device-mesh rasterizer tile axis size
 
 
 def _to_dict(obj):

@@ -62,8 +62,6 @@ def focus_point_fn(poses):
 
 def recenter_poses(poses):
     cam2world = poses_avg(poses)
-    transform = np.linalg.inv(pad_poses(np.concatenate(
-        [cam2world, np.zeros((3, 0))], axis=1) if cam2world.shape[1] == 4 else cam2world))
     transform = np.linalg.inv(pad_poses(cam2world[None]))[0]
     poses = transform @ pad_poses(poses)
     return unpad_poses(poses), transform

@@ -171,6 +171,7 @@ def bin_gaussians(
         and (jax.default_backend() == "tpu" or cfg.interpret_kernels)
         and P % 256 == 0
         and P % Pb == 0
+        and Pb % 256 == 0
     )
     # Block compaction needs slot ids (local*K + rank) exact in f32 -> gate
     # on n_local * K < 2^24. Per-sub-block S capacity must cover the entry

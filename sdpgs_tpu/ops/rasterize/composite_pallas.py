@@ -264,7 +264,10 @@ def _make_composite(cfg: RasterizeConfig, T: int, K: int, C: int, npix: int):
     # a recompile at large K would die in Mosaic instead of running at a
     # smaller tps).
     def _tps_bytes(t):
-        per_tile = (6 + 2 * C + 1) * K + (2 * nchunk + 3 + C) * npix
+        # Backward-kernel blocks (the larger of the two passes): inputs
+        # geo 6K + val CK + px/py/tres/dres/tfin/gval/gtfin
+        # (2*nchunk + 4 + C)*npix, outputs dgeo 6K + dval CK.
+        per_tile = (12 + 2 * C) * K + (2 * nchunk + 4 + C) * npix
         return t * per_tile * 4 * 2          # f32, double-buffered pipeline
 
     tps = 1

@@ -81,6 +81,37 @@ class Trainer:
             self.mono_depth_fn = None
             self.mono_params = ()
         self.state = TrainState.create(self.scene.gaussians, seed=cfg.seed)
+
+        # --- device mesh (SURVEY §2.3; BASELINE scaling target) -------------
+        # DP(views over 'data') x ZeRO('gauss' moments/stats) x tile-sharded
+        # rasterization, wired into the driver itself: state + batches are
+        # pinned to NamedShardings and every slow-path event (densify, reset,
+        # checkpoint) runs with out_shardings that preserve them.
+        self.mesh = None
+        self._state_shardings = None
+        n_mesh = cfg.mesh_data * cfg.mesh_gauss * cfg.mesh_tile
+        if n_mesh > 1:
+            from sdpgs_tpu.parallel import make_mesh, shard_train_state
+            from sdpgs_tpu.parallel.sharding import state_shardings
+
+            devices = jax.devices()
+            if len(devices) < n_mesh:
+                raise ValueError(
+                    f"mesh {cfg.mesh_data}x{cfg.mesh_gauss}x{cfg.mesh_tile} "
+                    f"needs {n_mesh} devices, have {len(devices)}"
+                )
+            if cfg.views_per_batch % cfg.mesh_data != 0:
+                raise ValueError(
+                    f"views_per_batch={cfg.views_per_batch} must be a "
+                    f"multiple of mesh_data={cfg.mesh_data}"
+                )
+            self.mesh = make_mesh(
+                data=cfg.mesh_data, gauss=cfg.mesh_gauss, tile=cfg.mesh_tile,
+                devices=devices[:n_mesh],
+            )
+            self.state = shard_train_state(self.state, self.mesh)
+            self._state_shardings = state_shardings(self.mesh, self.state)
+
         from sdpgs_tpu.eval.metrics import make_lpips_fn
 
         self.lpips_fn = make_lpips_fn(cfg.model.lpips_weights or None)
@@ -116,9 +147,26 @@ class Trainer:
     def _step_fn(self, sh_degree: int, with_pseudo: bool):
         key = (sh_degree, with_pseudo)
         if key not in self._steps:
+            tile_mesh = (
+                self.mesh
+                if self.mesh is not None and self.mesh.shape["tile"] > 1
+                else None
+            )
+            out_sh = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from sdpgs_tpu.train.step import StepMetrics
+
+                repl = NamedSharding(self.mesh, PartitionSpec())
+                out_sh = (
+                    self._state_shardings,
+                    StepMetrics(repl, repl, repl, repl, repl, repl),
+                )
             self._steps[key] = make_train_step(
                 self.cfg, sh_degree, with_pseudo=with_pseudo,
-                mono_depth_fn=self.mono_depth_fn,
+                mono_depth_fn=self.mono_depth_fn, tile_mesh=tile_mesh,
+                out_shardings=out_sh,
             )
         return self._steps[key]
 
@@ -131,12 +179,19 @@ class Trainer:
 
     def _next_batch(self) -> ViewBatch:
         V = max(1, int(self.cfg.views_per_batch))
-        V = min(V, len(self.scene.train_cameras))
+        if self.mesh is None:
+            V = min(V, len(self.scene.train_cameras))
+        # under a mesh, V stays a multiple of mesh_data even when the scene
+        # has fewer train views (few-shot: 3); repeats within a batch are
+        # fine (pop-without-replacement still cycles the full set)
         idx = tuple(sorted(self._next_view() for _ in range(V)))
         if idx not in self._batch_cache:
-            self._batch_cache[idx] = build_view_batch(
-                self.scene.train_cameras, list(idx)
-            )
+            batch = build_view_batch(self.scene.train_cameras, list(idx))
+            if self.mesh is not None:
+                from sdpgs_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            self._batch_cache[idx] = batch
         return self._batch_cache[idx]
 
     def _next_pseudo(self) -> int:
@@ -179,6 +234,54 @@ class Trainer:
         return self._reproj_queue.pop(0)
 
     # ---- events --------------------------------------------------------
+    def _densify_fn(self, run_prox: bool):
+        """Jitted densify/prune event, cached with the train steps. Under a
+        mesh the outputs are PINNED to the state shardings (out_shardings),
+        so the slot surgery (argsort/searchsorted/at[].set) cannot silently
+        re-replicate the ZeRO-sharded moments/stats — the `gauss` sharding
+        survives the event by construction, not by GSPMD luck."""
+        key = ("densify", run_prox)
+        if key not in self._steps:
+            opt = self.cfg.optim
+            extent = float(self.scene.cameras_extent)
+
+            def f(g, opt_state, stats, rngkey, d2, idx):
+                if run_prox:
+                    finite = jnp.isfinite(d2)
+                    knn_dist = jnp.sum(jnp.where(finite, d2, 0), -1) / jnp.maximum(
+                        finite.sum(-1), 1
+                    )
+                    knn_idx = idx
+                else:
+                    knn_dist = knn_idx = None
+                return densify_and_prune(
+                    g, opt_state, stats, rngkey,
+                    grad_threshold=opt.densify_grad_threshold,
+                    min_opacity=opt.prune_threshold,
+                    extent=extent,
+                    percent_dense=opt.percent_dense,
+                    run_proximity=run_prox,
+                    knn_dist=knn_dist,
+                    knn_idx=knn_idx,
+                )
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from sdpgs_tpu.opt.densify import DensifyInfo
+
+                ss = self._state_shardings
+                repl = NamedSharding(self.mesh, PartitionSpec())
+                info_sh = DensifyInfo(repl, repl, repl, repl)
+                fn = jax.jit(
+                    f,
+                    out_shardings=(ss.gaussians, ss.opt_state, ss.stats, info_sh),
+                )
+            else:
+                fn = jax.jit(f)
+            self._steps[key] = fn
+        return self._steps[key]
+
     def _maybe_densify(self, iteration: int):
         opt = self.cfg.optim
         if iteration >= opt.densify_until_iter:
@@ -187,24 +290,12 @@ class Trainer:
             return None
         g = self.state.gaussians
         run_prox = iteration < opt.proximity_until_iter
-        knn_dist = knn_idx = None
+        d2 = idx = None
         if run_prox:
             d2, idx = knn(g.xyz, k=3, mask=g.alive)
-            finite = jnp.isfinite(d2)
-            knn_dist = jnp.sum(jnp.where(finite, d2, 0), -1) / jnp.maximum(
-                finite.sum(-1), 1
-            )
-            knn_idx = idx
         key, sub = jax.random.split(self.state.rng)
-        g2, opt_state, stats, info = densify_and_prune(
-            g, self.state.opt_state, self.state.stats, sub,
-            grad_threshold=opt.densify_grad_threshold,
-            min_opacity=opt.prune_threshold,
-            extent=self.scene.cameras_extent,
-            percent_dense=opt.percent_dense,
-            run_proximity=run_prox,
-            knn_dist=knn_dist,
-            knn_idx=knn_idx,
+        g2, opt_state, stats, info = self._densify_fn(run_prox)(
+            g, self.state.opt_state, self.state.stats, sub, d2, idx
         )
         self.state = self.state.replace(
             gaussians=g2, opt_state=opt_state, stats=stats, rng=key
@@ -286,13 +377,28 @@ class Trainer:
         self.cfg.raster = new
         self._steps.clear()
 
+    def _reset_opacity_fn(self):
+        key = ("reset_opacity",)
+        if key not in self._steps:
+            if self.mesh is not None:
+                ss = self._state_shardings
+                fn = jax.jit(
+                    reset_opacity, out_shardings=(ss.gaussians, ss.opt_state)
+                )
+            else:
+                fn = jax.jit(reset_opacity)
+            self._steps[key] = fn
+        return self._steps[key]
+
     def _maybe_reset_opacity(self, iteration: int):
         opt = self.cfg.optim
         if (
             iteration > opt.start_sample_pseudo
             and (iteration - opt.start_sample_pseudo - 1) % opt.opacity_reset_interval == 0
         ):
-            g, opt_state = reset_opacity(self.state.gaussians, self.state.opt_state)
+            g, opt_state = self._reset_opacity_fn()(
+                self.state.gaussians, self.state.opt_state
+            )
             self.state = self.state.replace(gaussians=g, opt_state=opt_state)
 
     def restore(self, checkpoint_dir, step: int) -> None:
@@ -324,6 +430,7 @@ class Trainer:
             step = self._step_fn(sh_degree, in_pseudo)
             if in_pseudo:
                 cam, fused, weight = self._next_pseudo_reproj()
+                V = int(batch.image.shape[0])
                 pseudo = PseudoInputs(
                     camera=cam,
                     train_depths=self._train_depths,
@@ -335,6 +442,11 @@ class Trainer:
                     mono_params=self.mono_params,
                     reproj_fused=fused,
                     reproj_weight=weight,
+                    # "the sampled train view" for reference-exact pseudo
+                    # labels (train.py:156): with V > 1 sample it per step
+                    train_view_idx=jnp.int32(
+                        0 if V == 1 else int(self._rng.integers(0, V))
+                    ),
                 )
                 self.state, metrics = step(
                     self.state, batch, self.prototypes, self.bg,
@@ -405,6 +517,24 @@ class Trainer:
         return history
 
     # ---- evaluation ----------------------------------------------------
+    def _eval_render_fn(self, sh_degree: int):
+        """Jitted eval render, cached alongside the train steps (and cleared
+        with them at ladder recompile boundaries). Cameras are jit ARGUMENTS
+        (a pytree of same-shape arrays), so one compile serves every view —
+        the unjitted per-view render was recompile-prone on TPU for eval
+        cadences (VERDICT r3 weak #6)."""
+        key = ("eval_render", sh_degree)
+        if key not in self._steps:
+            raster = self.cfg.raster
+
+            @jax.jit
+            def eval_render(g, cam, bg):
+                out = render(cam, g, raster, bg, sh_degree)
+                return jnp.clip(out.color.transpose(2, 0, 1), 0.0, 1.0)
+
+            self._steps[key] = eval_render
+        return self._steps[key]
+
     def evaluate(self, cameras=None, sh_degree: Optional[int] = None) -> dict:
         """L1/PSNR/SSIM (+LPIPS when weights are configured) over held-out
         views (training_report, reference train.py:275-300)."""
@@ -412,10 +542,10 @@ class Trainer:
         if not cams:
             return {}
         deg = self.cfg.model.sh_degree if sh_degree is None else sh_degree
+        eval_render = self._eval_render_fn(deg)
         l1s, psnrs, ssims, lpipss = [], [], [], []
         for c in cams:
-            out = render(c.camera, self.state.gaussians, self.cfg.raster, self.bg, deg)
-            img = jnp.clip(out.color.transpose(2, 0, 1), 0, 1)
+            img = eval_render(self.state.gaussians, c.camera, self.bg)
             gt = jnp.clip(jnp.asarray(c.image), 0, 1)
             l1s.append(float(jnp.mean(jnp.abs(img - gt))))
             psnrs.append(float(psnr_fn(img, gt)))

@@ -312,3 +312,20 @@ def test_tile_sharded_pseudo_step_matches(rng):
         np.asarray(new_state.gaussians.xyz), np.asarray(ref_state.gaussians.xyz),
         rtol=1e-4, atol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_certify_sharded_multistep_training():
+    """Driver-level multi-step sharded training (VERDICT r4 item #1): the
+    Trainer on a (2,2,2) mesh through densify + opacity reset + ladder
+    recompile + orbax round-trip, sharding asserted per event, resume
+    bit-exact, trajectory vs single device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sdpgs_tpu.parallel.certify import certify_sharded_training
+
+    summary = certify_sharded_training(8, workdir=None)
+    assert summary["densify_iters"] == [20, 40, 60]
+    assert summary["reset_iters"] == [35, 55]
+    assert summary["ladder_events"], "ladder must fire (D=2 scene clips)"
+    assert summary["resume_bitexact"]
