@@ -59,18 +59,20 @@ def main():
     del g0, b0, prep
 
     configs = [
-        # gather-based payload backward auto-on (1.57M table rows >= 2^20):
-        # replaces the ~120 ms scatter-add transpose with D row-gathers.
-        ("K=2048 uncompacted + grad-gather",
+        # windowed two-phase payload backward auto-on (1.57M table rows >=
+        # grad_window_min_rows): replaces the ~120-130 ms scatter-add
+        # transpose with window-local small-destination scatters
+        # (ops/rasterize/grad_window.py).
+        ("K=2048 uncompacted + grad-window",
          dict(max_per_tile=2048, rank_block_slots=0,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=2048 S=512 grouped + grad-gather",
+        ("K=2048 S=512 grouped + grad-window",
          dict(max_per_tile=2048, rank_block_slots=512,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
-        ("K=2048 S=512 grouped, grad-gather OFF",
-         dict(max_per_tile=2048, rank_block_slots=512,
+        ("K=2048 uncompacted, grad-window OFF",
+         dict(max_per_tile=2048, rank_block_slots=0,
               rank_block_gaussians=2048, tiles_per_kernel_step=4,
-              grad_gather_min_rows=1 << 30)),
+              grad_window_min_rows=1 << 62)),
     ]
     for label, kw in configs:
         tc = TrainConfig()

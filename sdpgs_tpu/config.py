@@ -57,6 +57,29 @@ class RasterizeConfig:
                                     # (235.8 vs 221.2 ms/step; the random-
                                     # access cost moves to the D gathers +
                                     # the unsort instead of vanishing).
+    grad_window_min_rows: int = 1 << 20
+                                    # windowed two-phase payload backward
+                                    # (ops/rasterize/grad_window.py): when
+                                    # the table has >= this many rows,
+                                    # replace the scatter-add transpose with
+                                    # a window-major compact gather + one
+                                    # small-destination scatter per window.
+                                    # XLA's scatter per-row cost is ~10x
+                                    # worse at 1M-row destinations than at
+                                    # 131k (measured, perf_r4_scatter.py);
+                                    # below ~1M rows the plain scatter wins.
+    grad_window_bits: int = 17      # log2 destinations per window (Pw);
+                                    # capacity must be divisible by Pw.
+    grad_window_slack: float = 0.85  # per-window slab capacity = slack *
+                                    # mean rows/window (128-aligned); rows
+                                    # past the cap are counted in overflow
+                                    # telemetry like every other capacity.
+                                    # Interleaved windows balance to the
+                                    # LIVE row count (~52% fill at the 1M
+                                    # bench scene), so 0.85 only drops when
+                                    # the table itself nears saturation;
+                                    # slab rows are gathered+scattered, so
+                                    # slack is paid at ~23 ms per 1M rows.
     rank_kernel_lanes: bool = True  # lane-major compact rank kernel:
                                     # per-Gaussian vectors live on lanes so
                                     # the ~30 sublane<->lane relayouts per

@@ -18,6 +18,7 @@ from sdpgs_tpu.config import RasterizeConfig
 from sdpgs_tpu.core.camera import Camera
 from sdpgs_tpu.ops.rasterize import binning as binning_lib
 from sdpgs_tpu.ops.rasterize import composite_xla
+from sdpgs_tpu.ops.rasterize import grad_window
 from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed, preprocess, preprocess_fused
 
 
@@ -140,7 +141,21 @@ def rasterize_tiles(
         axis=-1,
     )
     idx = bins.tile_index                     # [T, K]
-    if bins.entry_slot is not None:
+    P = payload.shape[0]
+    wgeo = grad_window.window_geometry(P, idx.shape[0] * idx.shape[1], cfg)
+    if wgeo is not None:
+        # Windowed two-phase backward: restores destination locality for
+        # the payload-grad scatter at large scenes (~10x per-row; see
+        # ops/rasterize/grad_window.py). Map build is parameter-independent
+        # (depends only on the integer table) and its slab-capacity drops
+        # are folded into the overflow telemetry like every other cap.
+        nw, Ec = wgeo
+        wmap = grad_window.build_window_map(idx, P, nw, Ec)
+        bins = bins._replace(overflow=bins.overflow + wmap.overflow)
+        gathered = grad_window.gather_payload_windowed(
+            payload, idx, wmap.src, wmap.gid_f, nw, Ec
+        )                                     # [T, K, 13], windowed bwd
+    elif bins.entry_slot is not None:
         gathered = _gather_payload_gatherbwd(
             payload, idx, bins.entry_slot, bins.order
         )                                     # [T, K, 13], gather-based bwd

@@ -229,7 +229,18 @@ def test_gather_backward_matches_scatter(rng):
         g_sc = jax.grad(loss)(params, RasterizeConfig(**base))
         g_ga = jax.grad(loss)(
             params, RasterizeConfig(**base, grad_gather_min_rows=0))
+        # windowed two-phase backward (grad_window.py): 4 windows of 64
+        # slots over the 256-slot capacity, tight slab to also exercise
+        # the Ec drop path staying exact for undropped rows... slack 4.0
+        # keeps every row (exactness), drop accounting tested separately.
+        g_wd = jax.grad(loss)(
+            params, RasterizeConfig(**base, grad_window_min_rows=0,
+                                    grad_window_bits=6,
+                                    grad_window_slack=4.0))
         for k in params:
             np.testing.assert_allclose(
                 np.asarray(g_ga[k]), np.asarray(g_sc[k]),
                 rtol=1e-5, atol=1e-6, err_msg=f"{k} {base}")
+            np.testing.assert_allclose(
+                np.asarray(g_wd[k]), np.asarray(g_sc[k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"windowed {k} {base}")
