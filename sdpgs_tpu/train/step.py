@@ -195,6 +195,7 @@ def make_train_step(
     mono_depth_fn: Optional[Callable] = None,  # (params, [3,H,W]) -> [H,W]
     tile_mesh=None,
     out_shardings=None,  # (TrainState shardings, StepMetrics shardings)
+    unroll_views: bool = False,
 ) -> Callable:
     """Build the jitted train step for a given active SH degree (the degree
     warmup every 500 iters, train.py:85-86, selects among compiled steps).
@@ -218,11 +219,30 @@ def make_train_step(
         def total_loss(params, offsets):
             gg = g.replace(**params)
 
-            outs = jax.vmap(
-                lambda cam, off: _render_view(
-                    gg, cam, off, cfg, sh_degree, bg, tile_mesh=tile_mesh
+            if unroll_views and V <= 8 and tile_mesh is None:
+                # Single-chip V>1: the vmap-batched render lowers worse
+                # than V unbatched renders despite flat per-section vmap
+                # scaling (the r2/r3 "+30%/view composed-step regression";
+                # same effect as the unvmapped pseudo render note below).
+                # Do NOT unroll under a mesh: data-parallel sharding needs
+                # the batched form so GSPMD partitions views over `data`.
+                outs_l = [
+                    _render_view(
+                        gg,
+                        jax.tree_util.tree_map(lambda x: x[v], batch.camera),
+                        offsets[v], cfg, sh_degree, bg, tile_mesh=None,
+                    )
+                    for v in range(V)
+                ]
+                outs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs_l
                 )
-            )(batch.camera, offsets)
+            else:
+                outs = jax.vmap(
+                    lambda cam, off: _render_view(
+                        gg, cam, off, cfg, sh_degree, bg, tile_mesh=tile_mesh
+                    )
+                )(batch.camera, offsets)
 
             losses, (ll1, images) = jax.vmap(
                 lambda out, img, mono, feat, seg: _view_losses_from_out(
