@@ -176,7 +176,7 @@ def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
 
     # --- plain flavor ----------------------------------------------------
     state = TrainState.create(g)
-    step = make_train_step(cfg, sh_degree=3)
+    step = make_train_step(cfg, sh_degree=3, unroll_views=True)
     plain_ips, _ = _time_steps(
         step, state, (batch, protos, bg, lr_scale), iters=plain_timed_iters
     )
@@ -186,7 +186,8 @@ def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
     g2, _, batch2 = _make_inputs(np.random.default_rng(0))
     state2 = TrainState.create(g2)
     pstep = make_train_step(
-        cfg, sh_degree=3, with_pseudo=True, mono_depth_fn=mono.apply
+        cfg, sh_degree=3, with_pseudo=True, mono_depth_fn=mono.apply,
+        unroll_views=True,
     )
     pseudo_ips, _ = _time_steps(
         pstep, state2, (batch2, protos, bg, lr_scale, pseudo),

@@ -69,7 +69,7 @@ def main():
     one = jnp.float32(1.0)
 
     for views in (1, 3):
-        for unroll in ((False,) if views == 1 else (False, True)):
+        for unroll in (False, True):
             rng = np.random.default_rng(0)
             g, batch = make_inputs(rng, views)
             state = TrainState.create(g)

@@ -167,6 +167,11 @@ class Trainer:
                 self.cfg, sh_degree, with_pseudo=with_pseudo,
                 mono_depth_fn=self.mono_depth_fn, tile_mesh=tile_mesh,
                 out_shardings=out_sh,
+                # single-chip V>1: the vmap-batched render lowers worse
+                # than V unbatched renders (measured 19.8 vs 12.5 ms/view
+                # at V=3, scripts/perf_vbatch4.py); meshes keep the
+                # batched form so GSPMD shards views over `data`.
+                unroll_views=self.mesh is None,
             )
         return self._steps[key]
 
