@@ -60,15 +60,24 @@ def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """[C, H, W] per-channel 2D convolution with a separable window, SAME
     zero padding, as two banded-Toeplitz matmuls. C_in=1 convolutions run
     the MXU at 1/128th occupancy (measured 6ms for SSIM's five 11x11 blurs
-    at 504x378); dense [H,H]/[W,W] matmuls map to full MXU tiles (~0.5ms)."""
+    at 504x378); dense [H,H]/[W,W] matmuls map to full MXU tiles (~0.5ms).
+
+    Precision: 3-pass bf16 (X3, ~2^-21 relative — loss-grade exact) on TPU
+    instead of the package-default 6-pass f32; the CPU backend cannot
+    execute bf16 dots (golden/parity tests stay full f32 there)."""
     C, H, W = img.shape
     col = jnp.sum(window, axis=1)
     row = jnp.sum(window, axis=0) / jnp.maximum(jnp.sum(window), 1e-12)
     Tc = _blur_matrix(H, col)                          # [H, H]
     Tr = _blur_matrix(W, row)                          # [W, W]
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.matmul(img, Tr.T, precision=hi)            # along W
-    return jnp.matmul(Tc, x, precision=hi)             # along H
+    prec = (
+        "BF16_BF16_F32_X3"
+        if jax.default_backend() == "tpu"
+        else "highest"
+    )
+    with jax.default_matmul_precision(prec):
+        x = jnp.matmul(img, Tr.T)                      # along W
+        return jnp.matmul(Tc, x)                       # along H
 
 
 def ssim(

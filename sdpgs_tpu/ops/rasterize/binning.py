@@ -189,34 +189,36 @@ def bin_gaussians(
                 compute_compact_entries_lanes_pallas,
             )
 
-            slot, gid_c, counts_k, dropped, rank_dp = (
-                compute_compact_entries_lanes_pallas(
-                    packed_s, order, n_local, tiles_x, K, D,
-                    S=cfg.rank_block_slots,
-                    t0=None if tile_range is None else t0,
-                    grouped=cfg.rank_block_grouped,
-                    n_valid=n_valid,
-                    Pb=Pb,
-                    return_rank=True,
-                )
+            res = compute_compact_entries_lanes_pallas(
+                packed_s, order, n_local, tiles_x, K, D,
+                S=cfg.rank_block_slots,
+                t0=None if tile_range is None else t0,
+                grouped=cfg.rank_block_grouped,
+                n_valid=n_valid,
+                Pb=Pb,
+                # the [D, P] ranks feed only the (default-off) gather-based
+                # payload backward; emitting them unconditionally VMEM-OOMs
+                # the Mosaic compile once the ladder escalates D/S
+                return_rank=want_slot,
             )
-            rank_pd = rank_dp.T
+            slot, gid_c, counts_k, dropped = res[:4]
+            rank_pd = res[4].T if want_slot else None
         else:
             from sdpgs_tpu.ops.rasterize.rank_pallas import (
                 compute_compact_entries_pallas,
             )
 
-            slot, gid_c, counts_k, dropped, rank_pd = (
-                compute_compact_entries_pallas(
-                    packed_s, tid, order, n_local, tiles_x, K,
-                    S=cfg.rank_block_slots,
-                    t0=None if tile_range is None else t0,
-                    grouped=cfg.rank_block_grouped,
-                    n_valid=n_valid,
-                    Pb=Pb,
-                    return_rank=True,
-                )
+            res = compute_compact_entries_pallas(
+                packed_s, tid, order, n_local, tiles_x, K,
+                S=cfg.rank_block_slots,
+                t0=None if tile_range is None else t0,
+                grouped=cfg.rank_block_grouped,
+                n_valid=n_valid,
+                Pb=Pb,
+                return_rank=want_slot,
             )
+            slot, gid_c, counts_k, dropped = res[:4]
+            rank_pd = res[4] if want_slot else None
         # block-slot drops are capacity losses like tile-K overflow: fold in
         overflow = (
             jnp.sum(jnp.maximum(counts_k - K, 0)).astype(jnp.int32) + dropped

@@ -32,6 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 SB = 256  # sub-block width: the cumsum granularity (triangular-matmul size)
 
+# Unroll-vs-fori thresholds for the per-rect-slot (d) loops, in ELEMENTS of
+# live per-iteration temporaries. Mosaic stack-allocates a fraction of every
+# unrolled iteration's [Tc, SB] / [Sg, SB] temps simultaneously in the 16MB
+# scoped-VMEM budget; calibrated endpoints on v5e at 131k capacity:
+# D=8 / S=1536-flat compiles unrolled, D=16 / S=1024-flat OOMs by ~0.3MB.
+_RANK_UNROLL_ELEMS = 600_000        # D * Tc * SB
+_COMPACT_UNROLL_ELEMS = 3_400_000   # len(ds) * Sg * SB
+
 
 def _rank_kernel(sc_ref, packed_ref, tid_ref, rank_ref, counts_ref, carry_ref,
                  *, Pb: int, Tc: int, D: int, tiles_x: int, nb: int, nc: int):
@@ -384,11 +392,19 @@ def _rank_compact_main(
         dropped_ref[0, 0, :] += jnp.full((128,), dropped, jnp.float32)
 
 
-def _rank_compact_kernel(sc_ref, packed_ref, tid_ref, gin_ref, *refs, **kw):
+def _rank_compact_kernel(sc_ref, packed_ref, tid_ref, gin_ref, *refs,
+                         emit_rank=True, **kw):
     # sc_ref: scalar-prefetch [nb_valid, t0]
-    _rank_compact_body(
-        sc_ref[0], sc_ref[1], packed_ref, tid_ref, gin_ref, *refs, **kw
-    )
+    if emit_rank:
+        _rank_compact_body(
+            sc_ref[0], sc_ref[1], packed_ref, tid_ref, gin_ref, *refs, **kw
+        )
+    else:
+        # ranks carried in trailing VMEM scratch (see the lanes factory)
+        _rank_compact_body(
+            sc_ref[0], sc_ref[1], packed_ref, tid_ref, gin_ref, refs[-1],
+            *refs[:-1], **kw
+        )
 
 
 def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
@@ -411,7 +427,8 @@ def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
-                            grouped: bool, interpret: bool, Pb: int = 256):
+                            grouped: bool, interpret: bool, Pb: int = 256,
+                            emit_rank: bool = True):
     assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
     nb = P // SB   # total SB-wide sub-blocks (fixes output layout for any Pb)
     nbg = P // Pb  # grid steps
@@ -425,9 +442,10 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
     ]
+    # ranks output only when requested — see the lanes factory for why
     out_specs = (
-        [pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
-                      memory_space=pltpu.VMEM)]
+        ([pl.BlockSpec((1, Pb, D), lambda b, c, *_: (0, b, 0),
+                       memory_space=pltpu.VMEM)] if emit_rank else [])
         + [
             pl.BlockSpec((1, nsb * sg), lambda b, c, *_: (0, b),
                          memory_space=pltpu.VMEM)
@@ -441,7 +459,7 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         ]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((1, P, D), jnp.float32)]  # ranks (scratch-like)
+        ([jax.ShapeDtypeStruct((1, P, D), jnp.float32)] if emit_rank else [])
         + [jax.ShapeDtypeStruct((1, nb * sg), jnp.float32)
            for sg in s_groups] * 2
         + [
@@ -450,12 +468,14 @@ def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
         ]
     )
     scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc), jnp.float32)]
+    if not emit_rank:
+        scratch.append(pltpu.VMEM((1, Pb, D), jnp.float32))
     kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nbg, nc=nc, K=K,
               n_valid=n_valid, groups=groups, s_groups=s_groups)
 
     # scalar-prefetch operand: [nb_valid (SB units), shard-first-tile-id]
     return pl.pallas_call(
-        functools.partial(_rank_compact_kernel, **kw),
+        functools.partial(_rank_compact_kernel, emit_rank=emit_rank, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbg, nc),
@@ -501,14 +521,16 @@ def compute_compact_entries_pallas(
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
         grouped, jax.default_backend() != "tpu", Pb=Pb,
+        emit_rank=return_rank,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
     scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     outs = call(scalars, packed_sorted[None], tid[None], gid_sorted[None])
+    o0 = 1 if return_rank else 0
     ng = len(_group_layout(D, S, grouped)[0])
-    slot_parts = outs[1:1 + ng]
-    gid_parts = outs[1 + ng:1 + 2 * ng]
-    counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
+    slot_parts = outs[o0:o0 + ng]
+    gid_parts = outs[o0 + ng:o0 + 2 * ng]
+    counts, dropped = outs[o0 + 2 * ng], outs[o0 + 1 + 2 * ng]
     slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
     gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
     base = (
@@ -608,12 +630,12 @@ def _rank_compact_lanes_body(
             carry_c = carry_ref[c, :, :]                    # [Tc, 1]
             excl = carry_c + within - mf                    # [Tc, SB]
 
-            for d in range(D):
+            def _rank_contrib(df):
                 # floor((d + 0.5) / rw) == d // rw exactly for d < 8,
                 # rw < 256: the +0.5 keeps exact-integer quotients from
                 # rounding down through the f32 divide (same trick below).
-                dy = jnp.floor((d + 0.5) / rw_f)
-                dx = jnp.float32(d) - dy * rw_f
+                dy = jnp.floor((df + 0.5) / rw_f)
+                dx = df - dy * rw_f
                 td = (
                     (ymin.astype(jnp.float32) + dy) * tiles_x
                     + xmin.astype(jnp.float32) + dx
@@ -621,9 +643,35 @@ def _rank_compact_lanes_body(
                                                             # dead entries —
                                                             # masked later)
                 hit = tiles == td[None, :]                  # [Tc, SB]
-                contrib = jnp.sum(jnp.where(hit, excl, 0.0), axis=0)  # [SB]
-                prev = jnp.where(c == 0, 0.0, rank_ref[0, d, lo:lo + SB])
-                rank_ref[0, d, lo:lo + SB] = prev + contrib
+                return jnp.sum(jnp.where(hit, excl, 0.0), axis=0)  # [SB]
+
+            # Unrolled d-loops stack-allocate a fraction of every
+            # iteration's [Tc, SB] temporaries at once in Mosaic scoped
+            # VMEM; ladder rungs with D >= 16 blow the 16MB budget
+            # (measured: D=16/S=1024-flat fails, D=8/S=1536-flat fits),
+            # so large D runs as a fori_loop with a bounded live range.
+            # Mosaic has no value dynamic_slice, so the fori body selects /
+            # merges row d via [D, 1] one-hot masks over the whole slab.
+            if D * Tc * SB <= _RANK_UNROLL_ELEMS:
+                for d in range(D):
+                    contrib = _rank_contrib(jnp.float32(d))
+                    prev = jnp.where(c == 0, 0.0, rank_ref[0, d, lo:lo + SB])
+                    rank_ref[0, d, lo:lo + SB] = prev + contrib
+            else:
+                drow = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+
+                def _rank_body(d, z):
+                    contrib = _rank_contrib(d.astype(jnp.float32))
+                    cur = rank_ref[0, :, lo:lo + SB]        # [D, SB]
+                    # zero the whole slab once (first d of the first chunk);
+                    # later iterations keep already-written rows intact
+                    base = jnp.where((c == 0) & (d == 0), 0.0, cur)
+                    rank_ref[0, :, lo:lo + SB] = jnp.where(
+                        drow == d, base + contrib[None, :], base
+                    )
+                    return z
+
+                jax.lax.fori_loop(0, D, _rank_body, jnp.int32(0))
 
             new_carry = carry_c + jnp.sum(mf, axis=1, keepdims=True)
             carry_ref[c, :, :] = new_carry
@@ -679,13 +727,43 @@ def _rank_compact_lanes_body(
                     siota = jax.lax.broadcasted_iota(jnp.int32, (Sg, SB), 0)
                     out_slot = jnp.zeros((Sg,), jnp.float32)
                     out_gid = jnp.zeros((Sg,), jnp.float32)
-                    for d in ds:
-                        hit = siota == pd_all[d][None, :]   # [Sg, SB]
-                        out_slot = out_slot + jnp.sum(
-                            jnp.where(hit, slot1[d][None, :], 0.0), axis=1)
-                        out_gid = out_gid + jnp.sum(
-                            jnp.where(hit, (gid * vf[d])[None, :], 0.0),
+
+                    def _acc(pd_d, sl_d, vf_d, os, og):
+                        hit = siota == pd_d                 # [Sg, SB]
+                        os = os + jnp.sum(
+                            jnp.where(hit, sl_d, 0.0), axis=1)
+                        og = og + jnp.sum(
+                            jnp.where(hit, gid[None, :] * vf_d, 0.0),
                             axis=1)
+                        return os, og
+
+                    # same scoped-VMEM bound as the rank loop above: the
+                    # unrolled readout keeps len(ds) [Sg, SB] one-hots live
+                    # at once — fori past the limit (ds is contiguous; no
+                    # value dynamic_slice in Mosaic, so row d is selected
+                    # with a [D, 1] one-hot sum — exact: pd/slot1/vf are
+                    # small non-negative floats)
+                    if len(ds) * Sg * SB <= _COMPACT_UNROLL_ELEMS:
+                        for d in ds:
+                            out_slot, out_gid = _acc(
+                                pd_all[d][None, :], slot1[d][None, :],
+                                vf[d][None, :], out_slot, out_gid)
+                    else:
+                        drow2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (D, 1), 0)
+                        pd_f = pd_all.astype(jnp.float32)
+
+                        def _comp_body(j, carry, ds0=ds[0]):
+                            d = ds0 + j
+                            sel = (drow2 == d).astype(jnp.float32)
+                            pd_d = jnp.sum(sel * pd_f, axis=0,
+                                           keepdims=True).astype(jnp.int32)
+                            sl_d = jnp.sum(sel * slot1, axis=0, keepdims=True)
+                            vf_d = jnp.sum(sel * vf, axis=0, keepdims=True)
+                            return _acc(pd_d, sl_d, vf_d, *carry)
+
+                        out_slot, out_gid = jax.lax.fori_loop(
+                            0, len(ds), _comp_body, (out_slot, out_gid))
                     # one [Sg] column->row relayout per region store; the
                     # [Sg, 1] column form pads lanes 128x in VMEM and HBM
                     glo = sb * Sg
@@ -694,17 +772,26 @@ def _rank_compact_lanes_body(
                 dropped_ref[0, 0, :] += jnp.full((128,), dropped, jnp.float32)
 
 
-def _rank_compact_lanes_kernel(sc_ref, packed_ref, gin_ref, *refs, **kw):
-    _rank_compact_lanes_body(
-        sc_ref[0], sc_ref[1], packed_ref, gin_ref, *refs, **kw
-    )
+def _rank_compact_lanes_kernel(sc_ref, packed_ref, gin_ref, *refs,
+                               emit_rank=True, **kw):
+    if emit_rank:
+        _rank_compact_lanes_body(
+            sc_ref[0], sc_ref[1], packed_ref, gin_ref, *refs, **kw
+        )
+    else:
+        # ranks carried in trailing VMEM scratch; body order is unchanged
+        _rank_compact_lanes_body(
+            sc_ref[0], sc_ref[1], packed_ref, gin_ref, refs[-1], *refs[:-1],
+            **kw
+        )
 
 
 @functools.lru_cache(maxsize=None)
 def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
                                   Tc: int, tiles_x: int, K: int, S: int,
                                   n_valid: int, grouped: bool,
-                                  interpret: bool, Pb: int = 256):
+                                  interpret: bool, Pb: int = 256,
+                                  emit_rank: bool = True):
     assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
     nb = P // SB
     nbg = P // Pb
@@ -716,9 +803,15 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
         pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
     ]
+    # The [D, P] per-entry ranks are the kernel's cross-chunk carry; they are
+    # ONLY a real output for the (default-off) gather-based payload backward.
+    # When not requested they live in a per-block VMEM scratch instead: the
+    # full-array output otherwise gets VMEM-stack-placed by XLA and blows the
+    # 16MB scoped budget once the trainer ladder escalates D/S (measured:
+    # D=16, S=1024 flat at 131k capacity -> 16.37M > 16M compile failure).
     out_specs = (
-        [pl.BlockSpec((1, D, Pb), lambda b, c, *_: (0, 0, b),
-                      memory_space=pltpu.VMEM)]
+        ([pl.BlockSpec((1, D, Pb), lambda b, c, *_: (0, 0, b),
+                       memory_space=pltpu.VMEM)] if emit_rank else [])
         + [
             pl.BlockSpec((1, nsb * sg), lambda b, c, *_: (0, b),
                          memory_space=pltpu.VMEM)
@@ -732,7 +825,7 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
         ]
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((1, D, P), jnp.float32)]  # ranks (scratch-like)
+        ([jax.ShapeDtypeStruct((1, D, P), jnp.float32)] if emit_rank else [])
         + [jax.ShapeDtypeStruct((1, nb * sg), jnp.float32)
            for sg in s_groups] * 2
         + [
@@ -741,11 +834,14 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
         ]
     )
     scratch = [pltpu.VMEM((num_tiles_padded // Tc, Tc, 1), jnp.float32)]
+    if not emit_rank:
+        scratch.append(pltpu.VMEM((1, D, Pb), jnp.float32))
     kw = dict(Pb=Pb, Tc=Tc, D=D, tiles_x=tiles_x, nb=nbg, nc=nc, K=K,
               n_valid=n_valid, groups=groups, s_groups=s_groups)
 
     return pl.pallas_call(
-        functools.partial(_rank_compact_lanes_kernel, **kw),
+        functools.partial(_rank_compact_lanes_kernel, emit_rank=emit_rank,
+                          **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbg, nc),
@@ -784,14 +880,16 @@ def compute_compact_entries_lanes_pallas(
     call = _make_rank_compact_lanes_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
         grouped, jax.default_backend() != "tpu", Pb=Pb,
+        emit_rank=return_rank,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
     scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     outs = call(scalars, packed_sorted[None], gid_sorted[None])
+    o0 = 1 if return_rank else 0
     ng = len(_group_layout(D, S, grouped)[0])
-    slot_parts = outs[1:1 + ng]
-    gid_parts = outs[1 + ng:1 + 2 * ng]
-    counts, dropped = outs[1 + 2 * ng], outs[2 + 2 * ng]
+    slot_parts = outs[o0:o0 + ng]
+    gid_parts = outs[o0 + ng:o0 + 2 * ng]
+    counts, dropped = outs[o0 + 2 * ng], outs[o0 + 1 + 2 * ng]
     slot = jnp.concatenate([p[0] for p in slot_parts]).astype(jnp.int32) - 1
     gid = jnp.concatenate([p[0] for p in gid_parts]).astype(jnp.int32)
     base = (

@@ -479,3 +479,47 @@ def test_non_multiple_capacity_falls_back_to_scan(rng):
         got = bin_gaussians(prep, 160, 128, cfg)   # must not crash
         np.testing.assert_array_equal(np.asarray(got.tile_index),
                                       np.asarray(ref.tile_index), err_msg=str(P))
+
+
+def test_lanes_kernel_fori_paths_match_scan(rng, monkeypatch):
+    """Force the scoped-VMEM fori_loop variants of the rank/compaction
+    d-loops (ladder rungs with large D*Tc or S; see _RANK_UNROLL_ELEMS) and
+    check the binning table still matches the scan path exactly."""
+    import jax
+
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize import rank_pallas
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    monkeypatch.setattr(rank_pallas, "_RANK_UNROLL_ELEMS", 0)
+    monkeypatch.setattr(rank_pallas, "_COMPACT_UNROLL_ELEMS", 0)
+
+    P = 768  # unique capacity: don't alias lru-cached unrolled-form calls
+    W, H = 176, 144  # 11 x 9 tiles
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.15),
+        mean2d=jnp.asarray(rng.uniform(-10, 180, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(1, 24, P).astype(np.float32)),
+    )
+    for grouped in (True, False):
+        cfg_k = RasterizeConfig(
+            tile=16, max_per_tile=32, max_tiles_per_gaussian=6, chunk=32,
+            rank_block_slots=4096, rank_block_grouped=grouped,
+            rank_kernel_lanes=True, interpret_kernels=True,
+            rank_block_gaussians=256,
+        )
+        cfg_s = RasterizeConfig(
+            tile=16, max_per_tile=32, max_tiles_per_gaussian=6, chunk=32,
+            use_rank_kernel=False,
+        )
+        got = bin_gaussians(prep, W, H, cfg_k)
+        ref = bin_gaussians(prep, W, H, cfg_s)
+        # K-cap overflow is expected at this load; counts must AGREE
+        assert int(got.overflow) == int(ref.overflow)
+        np.testing.assert_array_equal(np.asarray(got.tile_index),
+                                      np.asarray(ref.tile_index))
+        np.testing.assert_array_equal(np.asarray(got.tile_counts),
+                                      np.asarray(ref.tile_counts))
