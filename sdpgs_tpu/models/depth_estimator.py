@@ -73,41 +73,45 @@ def mono_depth_from_params(
         reference utils/depth_utils.py:18-45: 384x512 in/out, bicubic)."""
         H, W = image.shape[1:]
         stem_phases = None
-        if resize_method == "bilinear":
-            x = _resize_bilinear(image[None], 384, 512, align_corners=False)
-            x = (x - 0.5) / 0.5                            # DPT normalization
-        elif phase_stem and arch.is_hybrid:
-            # Fused resize + space-to-depth: the BiT embedder's 7x7/2 conv
-            # runs dense over phase tensors; the 384x512 image (and its
-            # strided reads) never materializes. Normalize BEFORE the resize
-            # (affine commutes with it: interpolation rows sum to 1) so the
-            # phase tensors' zero pad rows equal the conv's zero padding.
-            from sdpgs_tpu.ops.resize import resize2d_stem_phases
-
-            norm = (image[None] - 0.5) / 0.5
-            stem_phases = resize2d_stem_phases(norm, 384, 512, resize_method,
-                                               align_corners=False)
-            x = jnp.zeros((1, 3, 384, 512), norm.dtype)    # unused, DCE'd
-        else:
-            from sdpgs_tpu.ops.resize import resize2d
-
-            x = resize2d(image[None], 384, 512, resize_method,
-                         align_corners=False)
-            x = (x - 0.5) / 0.5                            # DPT normalization
-        if dtype is not None:
-            x = x.astype(dtype)
-            if stem_phases is not None:
-                stem_phases = stem_phases.astype(dtype)
+        # the in/out resize matmuls run under the NET's precision context
+        # (not the package-wide 6-pass f32 default) and, when the net is
+        # bf16, on bf16 operands: the result feeds a bf16 network / a
+        # scale-invariant Pearson loss either way, so full-precision
+        # resizes here were pure waste (f/g measured on the critical path)
         with jax.default_matmul_precision(matmul_precision):
+            img = image[None] if dtype is None else image[None].astype(dtype)
+            if resize_method == "bilinear":
+                x = _resize_bilinear(img, 384, 512, align_corners=False)
+                x = (x - 0.5) / 0.5                        # DPT normalization
+            elif phase_stem and arch.is_hybrid:
+                # Fused resize + space-to-depth: the BiT embedder's 7x7/2
+                # conv runs dense over phase tensors; the 384x512 image (and
+                # its strided reads) never materializes. Normalize BEFORE
+                # the resize (affine commutes with it: interpolation rows
+                # sum to 1) so the phase tensors' zero pad rows equal the
+                # conv's zero padding.
+                from sdpgs_tpu.ops.resize import resize2d_stem_phases
+
+                norm = (img - 0.5) / 0.5
+                stem_phases = resize2d_stem_phases(
+                    norm, 384, 512, resize_method, align_corners=False)
+                x = jnp.zeros((1, 3, 384, 512), norm.dtype)  # unused, DCE'd
+            else:
+                from sdpgs_tpu.ops.resize import resize2d
+
+                x = resize2d(img, 384, 512, resize_method,
+                             align_corners=False)
+                x = (x - 0.5) / 0.5                        # DPT normalization
             depth = dpt_forward(params, x, arch,
                                 stem_phases=stem_phases).astype(jnp.float32)
-        if resize_method == "bilinear":
-            out = _resize_bilinear(depth[:, None], H, W, align_corners=False)
-        else:
-            from sdpgs_tpu.ops.resize import resize2d
+            if resize_method == "bilinear":
+                out = _resize_bilinear(depth[:, None], H, W,
+                                       align_corners=False)
+            else:
+                from sdpgs_tpu.ops.resize import resize2d
 
-            out = resize2d(depth[:, None], H, W, resize_method,
-                           align_corners=False)
+                out = resize2d(depth[:, None], H, W, resize_method,
+                               align_corners=False)
         return out[0, 0]
 
     return MonoDepth(apply, params)
