@@ -323,25 +323,53 @@ class Trainer:
         import dataclasses
 
         r = self.cfg.raster
+        # The overflow counter folds K-cap, block-slot, AND grad-window
+        # slab drops (all capacity losses). The windowed payload backward's
+        # slab is perf-only capacity: when it could be the source (the
+        # window gate engages at this scene shape), grow its slack in the
+        # same recompile so a slab-driven overflow cannot ratchet S/K
+        # uselessly forever.
+        from sdpgs_tpu.ops.rasterize.binning import tile_grid
+        from sdpgs_tpu.ops.rasterize.grad_window import window_geometry
+
+        slack_kw = {}
+        scene = getattr(self, "scene", None)
+        if scene is not None and scene.train_cameras:
+            cam0 = scene.train_cameras[0].camera
+            tx, ty = tile_grid(cam0.width, cam0.height, r.tile)
+            n_rows = tx * ty * r.max_per_tile
+            if (
+                window_geometry(self.cfg.model.capacity, n_rows, r)
+                is not None
+                and r.grad_window_slack < 2.0
+            ):
+                slack_kw = {
+                    "grad_window_slack": min(2.0, r.grad_window_slack * 1.3)
+                }
         kernel_on = (
             jax.default_backend() == "tpu"
             and r.use_pallas
             and r.rank_block_slots > 0
         )
         if kernel_on and r.rank_block_grouped:
-            new = dataclasses.replace(r, rank_block_grouped=False)
+            new = dataclasses.replace(r, rank_block_grouped=False, **slack_kw)
             desc = "block compaction grouped -> flat"
         elif kernel_on and r.rank_block_slots < 2048:
             new = dataclasses.replace(
-                r, rank_block_slots=r.rank_block_slots * 2)
+                r, rank_block_slots=r.rank_block_slots * 2, **slack_kw)
             desc = (f"block compaction S={r.rank_block_slots} -> "
                     f"{new.rank_block_slots} (flat)")
         elif kernel_on:
-            new = dataclasses.replace(r, rank_block_slots=0)
+            new = dataclasses.replace(r, rank_block_slots=0, **slack_kw)
             desc = f"block compaction S={r.rank_block_slots} -> off"
         elif r.max_per_tile < self.MAX_PER_TILE_CEILING:
-            new = dataclasses.replace(r, max_per_tile=r.max_per_tile * 2)
+            new = dataclasses.replace(
+                r, max_per_tile=r.max_per_tile * 2, **slack_kw)
             desc = f"per-tile cap K={r.max_per_tile} -> {new.max_per_tile}"
+        elif slack_kw:
+            new = dataclasses.replace(r, **slack_kw)
+            desc = (f"grad-window slack {r.grad_window_slack:.2f} -> "
+                    f"{new.grad_window_slack:.2f} (K at ceiling)")
         else:
             print(
                 f"binning overflow={overflow}: K at ceiling "

@@ -272,3 +272,45 @@ def test_training_report_persisted(rng, tmp_path):
 
     hist = json.loads((tmp_path / "model" / "training_history.json").read_text())
     assert hist and hist[-1]["iter"] == 6
+
+
+def test_window_slack_escalates_with_ladder():
+    """When the windowed payload backward engages for the scene shape,
+    overflow-driven ladder recompiles also grow its slab slack (the
+    overflow counter folds slab drops; slack growth is bounded at 2.0)."""
+    from types import SimpleNamespace
+    from unittest import mock
+
+    import jax
+
+    from sdpgs_tpu.config import TrainConfig
+    from sdpgs_tpu.train.loop import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t.cfg = TrainConfig()
+    # 1008x756 @ tile 32 -> 768 tiles; K=2048 -> 1.57M rows >= gate;
+    # capacity 2^20 divisible by Pw=2^17
+    import dataclasses
+
+    t.cfg.raster = dataclasses.replace(
+        t.cfg.raster, max_per_tile=2048)
+    t.cfg.model.capacity = 1 << 20
+    cam = SimpleNamespace(width=1008, height=756)
+    t.scene = SimpleNamespace(train_cameras=[SimpleNamespace(camera=cam)])
+    t._steps = {"dummy": object()}
+    s0 = t.cfg.raster.grad_window_slack
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(50)
+    assert t.cfg.raster.grad_window_slack == min(2.0, s0 * 1.3)
+    assert not t.cfg.raster.rank_block_grouped  # the S ladder still moved
+
+    # bench-scale shape: gate disengaged -> slack untouched
+    t2 = Trainer.__new__(Trainer)
+    t2.cfg = TrainConfig()
+    cam2 = SimpleNamespace(width=504, height=378)
+    t2.scene = SimpleNamespace(train_cameras=[SimpleNamespace(camera=cam2)])
+    t2._steps = {}
+    s0 = t2.cfg.raster.grad_window_slack
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t2._maybe_grow_block_slots(50)
+    assert t2.cfg.raster.grad_window_slack == s0
