@@ -160,6 +160,10 @@ def _time_steps(step, state, args, iters):
 def main(plain_timed_iters: int = 30, pseudo_timed_iters: int = 15):
     import jax.numpy as jnp
 
+    from sdpgs_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from sdpgs_tpu.config import RasterizeConfig, TrainConfig
     from sdpgs_tpu.train.state import TrainState
     from sdpgs_tpu.train.step import make_train_step

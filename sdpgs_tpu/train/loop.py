@@ -58,6 +58,12 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, scene: Optional[Scene] = None,
                  mono_depth_fn=None):
         self.cfg = cfg
+        # Persistent executable cache: ladder rungs / SH-degree steps compile
+        # once per machine instead of once per run (the remote relay's
+        # 30-90 s compiles made wall-clock a third of steady state, r4).
+        from sdpgs_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.scene = scene if scene is not None else Scene(cfg)
         from sdpgs_tpu.models.depth_estimator import MonoDepth
 
