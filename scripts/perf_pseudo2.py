@@ -122,14 +122,14 @@ def main():
         return jnp.sum(b.tile_index).astype(jnp.float32)
 
     def gather_comp(cam, eps):
-        out, bins, prep = rasterize_tiles(
+        out, bins, prep, _slab = rasterize_tiles(
             g.xyz + eps, None, opacity, color, feature, g.alive, cam, cfg,
             scale=scale_p, quat=quat)
         return jnp.sum(out.values)
 
     def gather_comp_bwd(cam, eps):
         def loss(xyz):
-            out, bins, prep = rasterize_tiles(
+            out, bins, prep, _slab = rasterize_tiles(
                 xyz, None, opacity, color, feature, g.alive, cam, cfg,
                 scale=scale_p, quat=quat)
             return jnp.sum(out.values)

@@ -78,13 +78,14 @@ def make_step(cfg, sh_degree, *, do_stats=True, do_adam=True, full_losses=True):
             psnr=jnp.mean(jax.vmap(lambda a, b: psnr(
                 jnp.clip(a, 0, 1), jnp.clip(b, 0, 1)))(images, batch.image)),
             overflow=jnp.max(outs.overflow), clipped=jnp.max(outs.clipped),
-            num_alive=g_new.num_alive(),
+            num_alive=g_new.num_alive(), slab=jnp.max(outs.slab),
         )
         return state.replace(
             gaussians=g_new, opt_state=opt_state, stats=stats,
             step=state.step + 1,
             max_overflow=jnp.maximum(state.max_overflow, metrics.overflow),
             max_clipped=jnp.maximum(state.max_clipped, metrics.clipped),
+            max_slab=jnp.maximum(state.max_slab, metrics.slab),
         ), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -56,21 +56,25 @@ def _blur_matrix(n: int, kernel1d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, kernel1d[jnp.clip(off, 0, k - 1)], 0.0)
 
 
-def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+def _depthwise_conv(
+    img: jnp.ndarray, window: jnp.ndarray, precision: str | None = None
+) -> jnp.ndarray:
     """[C, H, W] per-channel 2D convolution with a separable window, SAME
     zero padding, as two banded-Toeplitz matmuls. C_in=1 convolutions run
     the MXU at 1/128th occupancy (measured 6ms for SSIM's five 11x11 blurs
     at 504x378); dense [H,H]/[W,W] matmuls map to full MXU tiles (~0.5ms).
 
     Precision: 3-pass bf16 (X3, ~2^-21 relative — loss-grade exact) on TPU
-    instead of the package-default 6-pass f32; the CPU backend cannot
-    execute bf16 dots (golden/parity tests stay full f32 there)."""
+    instead of the package-default 6-pass f32; the CPU backend defaults to
+    full f32 (golden/parity comparisons). ``precision`` overrides the
+    backend choice — tests/test_losses.py runs the X3 production path on CPU
+    against the f32-highest golden with an explicit tolerance (ADVICE r4)."""
     C, H, W = img.shape
     col = jnp.sum(window, axis=1)
     row = jnp.sum(window, axis=0) / jnp.maximum(jnp.sum(window), 1e-12)
     Tc = _blur_matrix(H, col)                          # [H, H]
     Tr = _blur_matrix(W, row)                          # [W, W]
-    prec = (
+    prec = precision or (
         "BF16_BF16_F32_X3"
         if jax.default_backend() == "tpu"
         else "highest"

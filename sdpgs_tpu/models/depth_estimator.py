@@ -104,14 +104,18 @@ def mono_depth_from_params(
                 x = (x - 0.5) / 0.5                        # DPT normalization
             depth = dpt_forward(params, x, arch,
                                 stem_phases=stem_phases).astype(jnp.float32)
-            if resize_method == "bilinear":
-                out = _resize_bilinear(depth[:, None], H, W,
-                                       align_corners=False)
-            else:
-                from sdpgs_tpu.ops.resize import resize2d
+        # The final H,W upsample runs OUTSIDE the reduced-precision context:
+        # the [1, 1, 384, 512] resize pair is negligible compute, and keeping
+        # it full-precision means the returned depth map's fidelity is set by
+        # the net, not by a bf16 resize of its output (ADVICE r4).
+        if resize_method == "bilinear":
+            out = _resize_bilinear(depth[:, None], H, W,
+                                   align_corners=False)
+        else:
+            from sdpgs_tpu.ops.resize import resize2d
 
-                out = resize2d(depth[:, None], H, W, resize_method,
-                               align_corners=False)
+            out = resize2d(depth[:, None], H, W, resize_method,
+                           align_corners=False)
         return out[0, 0]
 
     return MonoDepth(apply, params)

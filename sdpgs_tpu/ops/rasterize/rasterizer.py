@@ -31,6 +31,12 @@ class RenderOutput(NamedTuple):
     visibility: jnp.ndarray  # [P] bool, radii > 0
     overflow: jnp.ndarray   # telemetry: entries dropped by per-tile cap K
     clipped: jnp.ndarray    # telemetry: tile slots dropped by per-Gaussian cap D
+    slab: jnp.ndarray       # telemetry: payload-grad rows dropped by the
+                            # windowed backward's per-window slab cap Ec —
+                            # a GRADIENT-only loss (the forward render keeps
+                            # those rows), tracked separately so the capacity
+                            # ladder can grow grad_window_slack alone instead
+                            # of ratcheting S/K (ADVICE r4)
 
 
 def _pad_row(a: jnp.ndarray) -> jnp.ndarray:
@@ -142,16 +148,18 @@ def rasterize_tiles(
     )
     idx = bins.tile_index                     # [T, K]
     P = payload.shape[0]
+    slab = jnp.int32(0)
     wgeo = grad_window.window_geometry(P, idx.shape[0] * idx.shape[1], cfg)
     if wgeo is not None:
         # Windowed two-phase backward: restores destination locality for
         # the payload-grad scatter at large scenes (~10x per-row; see
         # ops/rasterize/grad_window.py). Map build is parameter-independent
-        # (depends only on the integer table) and its slab-capacity drops
-        # are folded into the overflow telemetry like every other cap.
+        # (depends only on the integer table); its slab-capacity drops are
+        # gradient-only (the render keeps the rows) and ride a SEPARATE
+        # telemetry channel so the ladder can react proportionately.
         nw, Ec = wgeo
         wmap = grad_window.build_window_map(idx, P, nw, Ec)
-        bins = bins._replace(overflow=bins.overflow + wmap.overflow)
+        slab = wmap.overflow
         gathered = grad_window.gather_payload_windowed(
             payload, idx, wmap.src, wmap.gid_f, nw, Ec
         )                                     # [T, K, 13], windowed bwd
@@ -184,7 +192,7 @@ def rasterize_tiles(
         )
     else:
         out = composite_xla.composite_tiles_xla(xy_g, con_g, opa_g, val_g, px, py, cfg)
-    return out, bins, prep
+    return out, bins, prep, slab
 
 
 def rasterize(
@@ -218,7 +226,7 @@ def rasterize(
     (the reference's per-Gaussian ``confidence``,
     gaussian_renderer/__init__.py:227-241).
     """
-    out, bins, prep = rasterize_tiles(
+    out, bins, prep, slab = rasterize_tiles(
         xyz, cov3d, opacity, color, feature, alive, cam, cfg,
         means2d_offset=means2d_offset, feature_weight=feature_weight,
         scale=scale, quat=quat,
@@ -240,6 +248,7 @@ def rasterize(
         visibility=jax.lax.stop_gradient(prep.radius > 0.0),
         overflow=bins.overflow,
         clipped=bins.clipped,
+        slab=slab,
     )
 
 
@@ -302,4 +311,5 @@ def rasterize_naive(
         visibility=prep.radius > 0.0,
         overflow=jnp.int32(0),
         clipped=jnp.int32(0),
+        slab=jnp.int32(0),
     )

@@ -220,9 +220,11 @@ def certify_sharded_training(
     # densify decisions are float-threshold flips: the single-device
     # reference renders through the r4 UNROLLED path while the mesh keeps
     # the batched form, so accumulation-order drift can move a few
-    # marginal slots (observed: 71 vs 74 on a 5-device mesh). Certify
-    # proportional agreement, not slot-exactness.
-    tol = max(3, int(0.06 * max(alive_a, alive_c)))
+    # marginal slots. Bound derivation: the largest drift ever observed is
+    # 3 slots (~4.2% of 71, 5-device mesh, r4); certify 5% proportional
+    # agreement with an absolute cap of 16 slots so the check stays a real
+    # divergence detector at large alive counts (ADVICE r4).
+    tol = max(3, min(16, int(0.05 * max(alive_a, alive_c))))
     assert abs(alive_a - alive_c) <= tol, (alive_a, alive_c)
     assert np.isfinite(losses_a).all()
 

@@ -36,6 +36,7 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
         rng=repl,
         max_overflow=repl,
         max_clipped=repl,
+        max_slab=repl,
     )
 
 

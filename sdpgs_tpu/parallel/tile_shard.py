@@ -73,7 +73,7 @@ def rasterize_tile_sharded(
 
     def body(xyz, geom, opacity, color, feature, alive, cam, offset, fw):
         t0 = jax.lax.axis_index(axis) * n_local
-        out, bins, prep = rasterize_tiles(
+        out, bins, prep, slab = rasterize_tiles(
             xyz,
             None if fused else geom[0],
             opacity, color, feature, alive, cam, cfg,
@@ -89,6 +89,7 @@ def rasterize_tile_sharded(
             bins.overflow[None],             # [1] per shard
             bins.clipped,                    # replicated (global per-Gaussian stat)
             prep.radius,                     # replicated
+            slab[None],                      # [1] per shard (grad-only drops)
         )
 
     repl = P()
@@ -96,11 +97,11 @@ def rasterize_tile_sharded(
     # outputs, which shard_map's checker otherwise requires — the out_specs
     # below are the authoritative contract (validated bit-exact vs the
     # single-device render in tests/test_parallel.py for both raster paths).
-    values, final_t, overflow, clipped, radius = jax.shard_map(
+    values, final_t, overflow, clipped, radius, slab = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(repl,) * 9,
-        out_specs=(P(axis), P(axis), P(axis), repl, repl),
+        out_specs=(P(axis), P(axis), P(axis), repl, repl, P(axis)),
         check_vma=False,
     )(xyz, geom, opacity, color, feature, alive, cam, means2d_offset, fw)
 
@@ -118,6 +119,7 @@ def rasterize_tile_sharded(
         visibility=jax.lax.stop_gradient(radius > 0.0),
         overflow=jnp.sum(overflow),
         clipped=clipped,
+        slab=jnp.sum(slab),
     )
 
 

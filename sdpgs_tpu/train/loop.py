@@ -167,7 +167,7 @@ class Trainer:
                 repl = NamedSharding(self.mesh, PartitionSpec())
                 out_sh = (
                     self._state_shardings,
-                    StepMetrics(repl, repl, repl, repl, repl, repl),
+                    StepMetrics(*([repl] * len(StepMetrics._fields))),
                 )
             self._steps[key] = make_train_step(
                 self.cfg, sh_degree, with_pseudo=with_pseudo,
@@ -329,53 +329,29 @@ class Trainer:
         import dataclasses
 
         r = self.cfg.raster
-        # The overflow counter folds K-cap, block-slot, AND grad-window
-        # slab drops (all capacity losses). The windowed payload backward's
-        # slab is perf-only capacity: when it could be the source (the
-        # window gate engages at this scene shape), grow its slack in the
-        # same recompile so a slab-driven overflow cannot ratchet S/K
-        # uselessly forever.
-        from sdpgs_tpu.ops.rasterize.binning import tile_grid
-        from sdpgs_tpu.ops.rasterize.grad_window import window_geometry
-
-        slack_kw = {}
-        scene = getattr(self, "scene", None)
-        if scene is not None and scene.train_cameras:
-            cam0 = scene.train_cameras[0].camera
-            tx, ty = tile_grid(cam0.width, cam0.height, r.tile)
-            n_rows = tx * ty * r.max_per_tile
-            if (
-                window_geometry(self.cfg.model.capacity, n_rows, r)
-                is not None
-                and r.grad_window_slack < 2.0
-            ):
-                slack_kw = {
-                    "grad_window_slack": min(2.0, r.grad_window_slack * 1.3)
-                }
+        # Table-side drops only (K cap / S block slots): grad-window slab
+        # drops ride their own telemetry channel (state.max_slab) and grow
+        # grad_window_slack alone in _maybe_grow_slab — a slab-driven event
+        # can no longer ratchet S/K (ADVICE r4 medium).
         kernel_on = (
             jax.default_backend() == "tpu"
             and r.use_pallas
             and r.rank_block_slots > 0
         )
         if kernel_on and r.rank_block_grouped:
-            new = dataclasses.replace(r, rank_block_grouped=False, **slack_kw)
+            new = dataclasses.replace(r, rank_block_grouped=False)
             desc = "block compaction grouped -> flat"
         elif kernel_on and r.rank_block_slots < 2048:
             new = dataclasses.replace(
-                r, rank_block_slots=r.rank_block_slots * 2, **slack_kw)
+                r, rank_block_slots=r.rank_block_slots * 2)
             desc = (f"block compaction S={r.rank_block_slots} -> "
                     f"{new.rank_block_slots} (flat)")
         elif kernel_on:
-            new = dataclasses.replace(r, rank_block_slots=0, **slack_kw)
+            new = dataclasses.replace(r, rank_block_slots=0)
             desc = f"block compaction S={r.rank_block_slots} -> off"
         elif r.max_per_tile < self.MAX_PER_TILE_CEILING:
-            new = dataclasses.replace(
-                r, max_per_tile=r.max_per_tile * 2, **slack_kw)
+            new = dataclasses.replace(r, max_per_tile=r.max_per_tile * 2)
             desc = f"per-tile cap K={r.max_per_tile} -> {new.max_per_tile}"
-        elif slack_kw:
-            new = dataclasses.replace(r, **slack_kw)
-            desc = (f"grad-window slack {r.grad_window_slack:.2f} -> "
-                    f"{new.grad_window_slack:.2f} (K at ceiling)")
         else:
             print(
                 f"binning overflow={overflow}: K at ceiling "
@@ -384,6 +360,38 @@ class Trainer:
             )
             return
         print(f"binning overflow={overflow}: {desc} (recompile)", flush=True)
+        self.cfg.raster = new
+        self._steps.clear()
+
+    MAX_GRAD_WINDOW_SLACK = 2.0
+
+    def _maybe_grow_slab(self, slab: int) -> None:
+        """Grad-window slab drops are gradient-only (the render kept the
+        rows): grow the slab slack alone — never S/K, whose tables did not
+        drop anything (ADVICE r4). Slack is paid at ~23 ms per 1M slab rows,
+        so growth is geometric up to a ceiling."""
+        import dataclasses
+
+        r = self.cfg.raster
+        if r.grad_window_slack >= self.MAX_GRAD_WINDOW_SLACK:
+            print(
+                f"grad-window slab drops={slab}: slack at ceiling "
+                f"{r.grad_window_slack:.2f}; gradients of excess rows dropped",
+                flush=True,
+            )
+            return
+        new = dataclasses.replace(
+            r,
+            grad_window_slack=min(
+                self.MAX_GRAD_WINDOW_SLACK, r.grad_window_slack * 1.3
+            ),
+        )
+        print(
+            f"grad-window slab drops={slab}: slack "
+            f"{r.grad_window_slack:.2f} -> {new.grad_window_slack:.2f} "
+            "(recompile)",
+            flush=True,
+        )
         self.cfg.raster = new
         self._steps.clear()
 
@@ -508,13 +516,17 @@ class Trainer:
                 # slip through. React, then reset the accumulator.
                 mo = int(jax.device_get(self.state.max_overflow))
                 mc = int(jax.device_get(self.state.max_clipped))
+                ms = int(jax.device_get(self.state.max_slab))
                 if mo > 0:
                     self._maybe_grow_block_slots(mo)
                 if mc > 0:
                     self._maybe_grow_tiles_per_gaussian(mc)
-                if mo > 0 or mc > 0:
+                if ms > 0:
+                    self._maybe_grow_slab(ms)
+                if mo > 0 or mc > 0 or ms > 0:
                     self.state = self.state.replace(
-                        max_overflow=jnp.int32(0), max_clipped=jnp.int32(0)
+                        max_overflow=jnp.int32(0), max_clipped=jnp.int32(0),
+                        max_slab=jnp.int32(0),
                     )
                 rate = iteration / (time.time() - t_start)
                 print(

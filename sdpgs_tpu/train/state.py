@@ -35,6 +35,9 @@ class TrainState:
     # must make an explicit choice for these leaves)
     max_overflow: jnp.ndarray
     max_clipped: jnp.ndarray
+    max_slab: jnp.ndarray      # grad-window slab drops (gradient-only): a
+                               # separate channel so a slab-driven event
+                               # grows grad_window_slack instead of S/K
 
     @classmethod
     def create(cls, gaussians: Gaussians, seed: int = 0) -> "TrainState":
@@ -46,6 +49,7 @@ class TrainState:
             rng=jax.random.PRNGKey(seed),
             max_overflow=jnp.int32(0),
             max_clipped=jnp.int32(0),
+            max_slab=jnp.int32(0),
         )
 
 

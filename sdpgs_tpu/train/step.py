@@ -49,6 +49,8 @@ class StepMetrics(NamedTuple):
     overflow: jnp.ndarray   # entries dropped by the per-tile K cap / S slots
     clipped: jnp.ndarray    # tile slots dropped by the per-Gaussian D cap
     num_alive: jnp.ndarray
+    slab: jnp.ndarray       # payload-grad rows dropped by the windowed
+                            # backward's slab cap (gradient-only loss)
 
 
 class ViewBatch(NamedTuple):
@@ -298,6 +300,7 @@ def make_train_step(
             overflow=jnp.max(outs.overflow),
             clipped=jnp.max(outs.clipped),
             num_alive=g_new.num_alive(),
+            slab=jnp.max(outs.slab),
         )
         new_state = state.replace(
             gaussians=g_new,
@@ -308,6 +311,7 @@ def make_train_step(
             # max so no drop is ever missed between host-side log points
             max_overflow=jnp.maximum(state.max_overflow, metrics.overflow),
             max_clipped=jnp.maximum(state.max_clipped, metrics.clipped),
+            max_slab=jnp.maximum(state.max_slab, metrics.slab),
         )
         return new_state, metrics
 

@@ -208,3 +208,42 @@ def test_reproject_precompute_matches_inline(rng):
     assert float(jnp.sum(w)) > 0  # some consistent pixels exist
     got = loss_reproject_from_fused(rendered, fused, w)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_blur_x3_precision_matches_f32_golden(rng):
+    """The production TPU SSIM path runs its Toeplitz blur matmuls with the
+    BF16_BF16_F32_X3 dot algorithm; the CPU test suite otherwise only ever
+    executes the f32-'highest' branch (conftest forces the CPU backend).
+    Run the X3 algorithm explicitly on CPU against the f32 golden so the
+    production precision choice is covered by a test (ADVICE r4).
+
+    Tolerance: X3 splits each operand into 3 bf16 terms (~2^-21 relative per
+    product on TPU); CPU's emulation is looser (~1e-5 relative measured), so
+    the bound here is the loss-grade contract (SSIM is consumed at weight
+    0.2 in a loss whose meaningful digits end ~1e-4), not the TPU figure.
+    """
+    from sdpgs_tpu.losses.basic import _depthwise_conv, _gaussian_window
+
+    g1 = _gaussian_window(11, 1.5)
+    window = jnp.outer(g1, g1)
+    img = jnp.asarray(rng.uniform(size=(5, 96, 128)).astype(np.float32))
+    try:
+        got = np.asarray(_depthwise_conv(img, window, precision="BF16_BF16_F32_X3"))
+    except Exception as e:  # backend without the dot algorithm
+        pytest.skip(f"BF16_BF16_F32_X3 unsupported on this backend: {e}")
+    ref = np.asarray(_depthwise_conv(img, window, precision="highest"))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+    # end-to-end: SSIM of noisy image pairs under both precisions
+    a = jnp.asarray(rng.uniform(size=(3, 96, 128)).astype(np.float32))
+    b = jnp.clip(a + 0.05 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    import sdpgs_tpu.losses.basic as basic
+
+    ref_ssim = float(ssim(a, b))
+    orig = basic._depthwise_conv
+    try:
+        basic._depthwise_conv = lambda img, w: orig(
+            img, w, precision="BF16_BF16_F32_X3")
+        got_ssim = float(ssim(a, b))
+    finally:
+        basic._depthwise_conv = orig
+    assert abs(got_ssim - ref_ssim) < 1e-4, (got_ssim, ref_ssim)

@@ -230,9 +230,9 @@ def test_gather_backward_matches_scatter(rng):
         g_ga = jax.grad(loss)(
             params, RasterizeConfig(**base, grad_gather_min_rows=0))
         # windowed two-phase backward (grad_window.py): 4 windows of 64
-        # slots over the 256-slot capacity, tight slab to also exercise
-        # the Ec drop path staying exact for undropped rows... slack 4.0
-        # keeps every row (exactness), drop accounting tested separately.
+        # slots over the 256-slot capacity. slack 4.0 sizes the slab to
+        # keep EVERY row — this is the exactness check; slab-drop
+        # accounting is covered in tests/test_grad_window.py.
         g_wd = jax.grad(loss)(
             params, RasterizeConfig(**base, grad_window_min_rows=0,
                                     grad_window_bits=6,

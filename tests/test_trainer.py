@@ -274,10 +274,12 @@ def test_training_report_persisted(rng, tmp_path):
     assert hist and hist[-1]["iter"] == 6
 
 
-def test_window_slack_escalates_with_ladder():
-    """When the windowed payload backward engages for the scene shape,
-    overflow-driven ladder recompiles also grow its slab slack (the
-    overflow counter folds slab drops; slack growth is bounded at 2.0)."""
+def test_slab_drops_grow_slack_alone():
+    """Grad-window slab drops are gradient-only capacity losses tracked on
+    their own telemetry channel (ADVICE r4): a slab event grows
+    grad_window_slack geometrically (bounded at 2.0) WITHOUT moving the
+    S/K ladder, and a table overflow event grows S/K WITHOUT touching the
+    slack."""
     from types import SimpleNamespace
     from unittest import mock
 
@@ -288,29 +290,29 @@ def test_window_slack_escalates_with_ladder():
 
     t = Trainer.__new__(Trainer)
     t.cfg = TrainConfig()
-    # 1008x756 @ tile 32 -> 768 tiles; K=2048 -> 1.57M rows >= gate;
-    # capacity 2^20 divisible by Pw=2^17
-    import dataclasses
-
-    t.cfg.raster = dataclasses.replace(
-        t.cfg.raster, max_per_tile=2048)
-    t.cfg.model.capacity = 1 << 20
-    cam = SimpleNamespace(width=1008, height=756)
-    t.scene = SimpleNamespace(train_cameras=[SimpleNamespace(camera=cam)])
     t._steps = {"dummy": object()}
     s0 = t.cfg.raster.grad_window_slack
-    with mock.patch.object(jax, "default_backend", return_value="tpu"):
-        t._maybe_grow_block_slots(50)
+    t._maybe_grow_slab(50)
     assert t.cfg.raster.grad_window_slack == min(2.0, s0 * 1.3)
-    assert not t.cfg.raster.rank_block_grouped  # the S ladder still moved
+    assert t.cfg.raster.rank_block_grouped        # S/K ladder untouched
+    assert t.cfg.raster.rank_block_slots == 512
+    assert not t._steps                           # recompile requested
 
-    # bench-scale shape: gate disengaged -> slack untouched
+    # repeated slab events converge to the ceiling and stop recompiling
+    for _ in range(10):
+        t._steps = {"dummy": object()}
+        t._maybe_grow_slab(50)
+    assert t.cfg.raster.grad_window_slack == 2.0
+    t._steps = {"dummy": object()}
+    t._maybe_grow_slab(50)                        # at ceiling: no recompile
+    assert t._steps
+
+    # table overflow: the S/K ladder moves, the slack does NOT
     t2 = Trainer.__new__(Trainer)
     t2.cfg = TrainConfig()
-    cam2 = SimpleNamespace(width=504, height=378)
-    t2.scene = SimpleNamespace(train_cameras=[SimpleNamespace(camera=cam2)])
-    t2._steps = {}
+    t2._steps = {"dummy": object()}
     s0 = t2.cfg.raster.grad_window_slack
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t2._maybe_grow_block_slots(50)
     assert t2.cfg.raster.grad_window_slack == s0
+    assert not t2.cfg.raster.rank_block_grouped   # grouped -> flat moved
