@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'data=4,gauss=2' or 'data=2,gauss=2,tile=2' "
                         "(axes default to 1; product must divide the "
                         "available device count)")
+    from sdpgs_tpu.parallel.distributed import add_distributed_args
+
+    add_distributed_args(p)
     # optimization overrides (reference per-scene flags, run_llff_mvs.sh)
     for f in dataclasses.fields(OptimizationConfig):
         # flags already declared explicitly above
@@ -107,6 +110,18 @@ def config_from_args(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    # Multi-host rendezvous BEFORE the backend is touched: afterwards
+    # jax.devices() is the global list and --mesh sizes span all hosts.
+    from sdpgs_tpu.parallel.distributed import maybe_initialize_distributed
+
+    if maybe_initialize_distributed(args):
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()}"
+            f", {len(jax.devices())} global devices"
+        )
 
     from sdpgs_tpu.config import save_config
     from sdpgs_tpu.train.loop import Trainer
