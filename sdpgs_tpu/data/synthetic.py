@@ -75,6 +75,10 @@ class SyntheticScene:
             tile=16, max_per_tile=128, max_tiles_per_gaussian=8, chunk=32,
             use_pallas=False,
         )
+        # Hidden GT set + its raster config, exposed for oracle-depth rigs
+        # (scripts/ablation_run.py renders GT depth at pseudo cameras).
+        self.gt_gaussians = gt
+        self.gt_raster = cfg
 
         def make_view(dx, dy, name):
             R = np.eye(3)
