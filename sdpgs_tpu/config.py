@@ -34,6 +34,14 @@ class RasterizeConfig:
     rank_block_grouped: bool = True  # split S into per-rect-slot regions
                                     # (d0/d1/rest) — fastest; flat layout
                                     # tolerates more growth before dropping
+    rank_block_tail: int = 0        # grouped layout only: pooled-tail
+                                    # (d>=2) slots per 256-Gaussian
+                                    # sub-block; 0 = S//4. Since d0/d1 at
+                                    # S//2 >= 256 can never drop (S >= 512),
+                                    # EVERY grouped drop is a tail drop — the ladder
+                                    # grows this before abandoning the
+                                    # grouped readout (4.5x smaller emit
+                                    # scan than flat at equal capacity).
     rank_block_slots: int = 512     # S: compacted (tile, rank) entries per
                                     # 256-Gaussian block in the rank kernel
                                     # (~+10% step throughput at light load);

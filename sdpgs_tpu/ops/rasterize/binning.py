@@ -194,6 +194,7 @@ def bin_gaussians(
                 S=cfg.rank_block_slots,
                 t0=None if tile_range is None else t0,
                 grouped=cfg.rank_block_grouped,
+                tail=cfg.rank_block_tail,
                 n_valid=n_valid,
                 Pb=Pb,
                 # the [D, P] ranks feed only the (default-off) gather-based
@@ -213,6 +214,7 @@ def bin_gaussians(
                 S=cfg.rank_block_slots,
                 t0=None if tile_range is None else t0,
                 grouped=cfg.rank_block_grouped,
+                tail=cfg.rank_block_tail,
                 n_valid=n_valid,
                 Pb=Pb,
                 return_rank=want_slot,

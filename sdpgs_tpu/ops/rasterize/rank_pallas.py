@@ -407,20 +407,28 @@ def _rank_compact_kernel(sc_ref, packed_ref, tid_ref, gin_ref, *refs,
         )
 
 
-def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
+def _group_layout(D: int, S: int, grouped: bool = True,
+                  tail: int = 0) -> tuple[tuple, tuple]:
     """The S compact slots split into regions by rect-slot index — d=0
     (every valid Gaussian: up to Pb entries), d=1, and d>=2 pooled — so each
     one-hot readout scans only its region instead of all S: one-hot rows
     shrink from D*S to S/2 + S/4 + S/4 (measured ~2ms/step of VPU work at
     D=8, S=512). Region capacities follow column occupancy; overruns are
-    counted in the telemetry."""
+    counted in the telemetry.
+
+    ``tail``: pooled-tail (d>=2) capacity override, 0 = S//4. Since d0/d1
+    at S//2 = SB can structurally never drop, every grouped-layout drop is
+    a tail drop — growing ONLY the tail is the capacity rung between
+    "grouped S" and "flat 2S" (r4 large-scene sweep: grouped S=512 drops
+    3.4k while flat needs S=1536 for zero; the tail rung recovers the
+    grouped readout's ~4.5x smaller emit scan at drop-free capacity)."""
     if D <= 2 or not grouped:
         return (tuple(range(D)),), (S,)
     groups = ((0,), (1,), tuple(range(2, D)))
     # d0 capacity = S/2 (= Pb at S=512: a column can never exceed Pb, so d0
     # never drops); d1 = S/2 (measured: S/4 drops ~650 entries even at
     # fresh bench load); pooled tail S/4. Total 1.25*S scatter rows.
-    s_groups = (S // 2, S // 2, S // 4)
+    s_groups = (S // 2, S // 2, tail if tail > 0 else S // 4)
     return groups, s_groups
 
 
@@ -428,13 +436,13 @@ def _group_layout(D: int, S: int, grouped: bool = True) -> tuple[tuple, tuple]:
 def _make_rank_compact_call(P: int, D: int, num_tiles_padded: int, Tc: int,
                             tiles_x: int, K: int, S: int, n_valid: int,
                             grouped: bool, interpret: bool, Pb: int = 256,
-                            emit_rank: bool = True):
+                            emit_rank: bool = True, tail: int = 0):
     assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
     nb = P // SB   # total SB-wide sub-blocks (fixes output layout for any Pb)
     nbg = P // Pb  # grid steps
     nsb = Pb // SB
     nc = num_tiles_padded // Tc
-    groups, s_groups = _group_layout(D, S, grouped)
+    groups, s_groups = _group_layout(D, S, grouped, tail)
 
     # index maps take (*grid, *scalar_prefetch_refs); *_ absorbs the latter
     in_specs = [
@@ -502,6 +510,7 @@ def compute_compact_entries_pallas(
     n_valid: jnp.ndarray | None = None,
     Pb: int = 256,
     return_rank: bool = False,
+    tail: int = 0,
 ) -> tuple[jnp.ndarray, ...]:
     """-> (slot [nb*S] i32 with -1 = empty, gid [nb*S] i32,
            counts [num_tiles] i32, dropped scalar i32
@@ -521,13 +530,13 @@ def compute_compact_entries_pallas(
     call = _make_rank_compact_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
         grouped, jax.default_backend() != "tpu", Pb=Pb,
-        emit_rank=return_rank,
+        emit_rank=return_rank, tail=tail,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
     scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     outs = call(scalars, packed_sorted[None], tid[None], gid_sorted[None])
     o0 = 1 if return_rank else 0
-    ng = len(_group_layout(D, S, grouped)[0])
+    ng = len(_group_layout(D, S, grouped, tail)[0])
     slot_parts = outs[o0:o0 + ng]
     gid_parts = outs[o0 + ng:o0 + 2 * ng]
     counts, dropped = outs[o0 + 2 * ng], outs[o0 + 1 + 2 * ng]
@@ -791,13 +800,13 @@ def _make_rank_compact_lanes_call(P: int, D: int, num_tiles_padded: int,
                                   Tc: int, tiles_x: int, K: int, S: int,
                                   n_valid: int, grouped: bool,
                                   interpret: bool, Pb: int = 256,
-                                  emit_rank: bool = True):
+                                  emit_rank: bool = True, tail: int = 0):
     assert P % Pb == 0 and Pb % SB == 0 and num_tiles_padded % Tc == 0
     nb = P // SB
     nbg = P // Pb
     nsb = Pb // SB
     nc = num_tiles_padded // Tc
-    groups, s_groups = _group_layout(D, S, grouped)
+    groups, s_groups = _group_layout(D, S, grouped, tail)
 
     in_specs = [
         pl.BlockSpec((1, Pb), lambda b, c, *_: (0, b), memory_space=pltpu.VMEM),
@@ -868,6 +877,7 @@ def compute_compact_entries_lanes_pallas(
     n_valid: jnp.ndarray | None = None,
     Pb: int = 256,
     return_rank: bool = False,
+    tail: int = 0,
 ) -> tuple[jnp.ndarray, ...]:
     """Lane-major variant of :func:`compute_compact_entries_pallas` — same
     contract, but needs no [P, D] tid input (rect-slot tiles are recomputed
@@ -880,13 +890,13 @@ def compute_compact_entries_lanes_pallas(
     call = _make_rank_compact_lanes_call(
         P, D, num_tiles + pad_tiles, Tc, tiles_x, K, S, num_tiles,
         grouped, jax.default_backend() != "tpu", Pb=Pb,
-        emit_rank=return_rank,
+        emit_rank=return_rank, tail=tail,
     )
     t0v = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
     scalars = jnp.stack([_nb_valid(n_valid, P)[0], t0v])
     outs = call(scalars, packed_sorted[None], gid_sorted[None])
     o0 = 1 if return_rank else 0
-    ng = len(_group_layout(D, S, grouped)[0])
+    ng = len(_group_layout(D, S, grouped, tail)[0])
     slot_parts = outs[o0:o0 + ng]
     gid_parts = outs[o0 + ng:o0 + 2 * ng]
     counts, dropped = outs[o0 + 2 * ng], outs[o0 + 1 + 2 * ng]

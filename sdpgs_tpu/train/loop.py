@@ -338,9 +338,28 @@ class Trainer:
             and r.use_pallas
             and r.rank_block_slots > 0
         )
-        if kernel_on and r.rank_block_grouped:
-            new = dataclasses.replace(r, rank_block_grouped=False)
-            desc = "block compaction grouped -> flat"
+        if kernel_on and r.rank_block_grouped and (
+            (r.rank_block_tail or r.rank_block_slots // 4)
+            < r.rank_block_slots
+        ):
+            # at S >= 512 every grouped drop is a pooled-tail drop (d0/d1
+            # at S//2 >= SB can never overflow): grow ONLY the tail while
+            # the grouped readout's ~4.5x smaller emit scan is still on
+            # the table; a persistent d0/d1 drop at smaller S just walks
+            # the tail to S and falls through to flat 2S
+            tail = r.rank_block_tail or r.rank_block_slots // 4
+            new = dataclasses.replace(
+                r, rank_block_tail=min(tail * 2, r.rank_block_slots))
+            desc = (f"block compaction pooled tail {tail} -> "
+                    f"{new.rank_block_tail} (grouped)")
+        elif kernel_on and r.rank_block_grouped:
+            # tail at S: the grouped layout already holds 2S rows; jump to
+            # flat 2S rather than re-trying flat S's smaller capacity
+            new = dataclasses.replace(
+                r, rank_block_grouped=False, rank_block_tail=0,
+                rank_block_slots=min(r.rank_block_slots * 2, 2048))
+            desc = (f"block compaction grouped(tail={r.rank_block_tail}) -> "
+                    f"flat S={min(r.rank_block_slots * 2, 2048)}")
         elif kernel_on and r.rank_block_slots < 2048:
             new = dataclasses.replace(
                 r, rank_block_slots=r.rank_block_slots * 2)

@@ -523,3 +523,46 @@ def test_lanes_kernel_fori_paths_match_scan(rng, monkeypatch):
                                       np.asarray(ref.tile_index))
         np.testing.assert_array_equal(np.asarray(got.tile_counts),
                                       np.asarray(ref.tile_counts))
+
+
+def test_grouped_tail_capacity_rung(rng):
+    """rank_block_tail enlarges ONLY the pooled d>=2 region: a tail big
+    enough to hold every tail entry reproduces the scan table exactly where
+    the default S//4 tail drops entries (the large-scene ladder rung), in
+    both kernel layouts."""
+    from sdpgs_tpu.config import RasterizeConfig
+    from sdpgs_tpu.ops.rasterize.binning import bin_gaussians
+    from sdpgs_tpu.ops.rasterize.preprocess import Preprocessed
+
+    P = 512
+    # huge radii: most Gaussians cover many tiles, so the pooled tail
+    # (default S//4 = 32 at S=128) overflows while d0/d1 cannot
+    prep = Preprocessed(
+        valid=jnp.asarray(rng.random(P) > 0.1),
+        mean2d=jnp.asarray(rng.uniform(-10, 170, (P, 2)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 9, P).astype(np.float32)),
+        conic=jnp.ones((P, 3), jnp.float32),
+        radius=jnp.asarray(rng.uniform(20, 60, P).astype(np.float32)),
+    )
+    W, H = 160, 128
+    # S=512: d0/d1 caps = S//2 = 256 = SB, so they structurally cannot
+    # drop and every drop is a tail drop (the property the ladder rung
+    # relies on; at smaller S the d0/d1 regions themselves can overflow)
+    base = dict(tile=16, max_per_tile=512, max_tiles_per_gaussian=8,
+                chunk=32, rank_block_grouped=True, rank_block_slots=512)
+    ref = bin_gaussians(
+        prep, W, H, RasterizeConfig(**base, use_rank_kernel=False))
+    assert int(ref.overflow) == 0
+    for lanes in (False, True):
+        small = bin_gaussians(prep, W, H, RasterizeConfig(
+            **base, interpret_kernels=True, rank_kernel_lanes=lanes))
+        big = bin_gaussians(prep, W, H, RasterizeConfig(
+            **base, interpret_kernels=True, rank_kernel_lanes=lanes,
+            rank_block_tail=2048))
+        assert int(small.overflow) > 0, "default tail must drop here"
+        assert int(big.overflow) == 0, lanes
+        np.testing.assert_array_equal(
+            np.asarray(big.tile_index), np.asarray(ref.tile_index),
+            err_msg=f"lanes={lanes}")
+        np.testing.assert_array_equal(
+            np.asarray(big.tile_counts), np.asarray(ref.tile_counts))
