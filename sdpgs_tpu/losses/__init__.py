@@ -17,6 +17,7 @@ from sdpgs_tpu.losses.depth import (  # noqa: F401
     loss_reproject_depth,
     loss_reproject_from_fused,
     reproject_fused_depth,
+    reproject_fused_depth_batch,
     segment_pearson_loss,
 )
 from sdpgs_tpu.losses.feature import (  # noqa: F401

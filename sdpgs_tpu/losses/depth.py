@@ -205,6 +205,62 @@ def reproject_fused_depth(
     return fused, valid.astype(jnp.float32)
 
 
+def _fuse_warped(warped: jnp.ndarray, consistency_view_thresh: int,
+                 error_range: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Average non-hole warps + view-agreement mask (the fusion half of
+    :func:`reproject_fused_depth`; reference loss_utils.py:354-360)."""
+    V = warped.shape[0]
+    zero_cnt = jnp.sum(warped == 0.0, axis=0)
+    fused = jnp.sum(warped, axis=0) / (V - zero_cnt + 1e-6)
+    err = jnp.abs(warped - fused[None])
+    agree = jnp.sum(err < error_range, axis=0)
+    valid = (agree >= consistency_view_thresh) & (fused > 0)
+    return fused, valid.astype(jnp.float32)
+
+
+def reproject_fused_depth_batch(
+    train_depths: jnp.ndarray,     # [V, H, W]
+    K: jnp.ndarray,                # [3, 3]
+    R_train: jnp.ndarray,          # [V, 3, 3]
+    t_train: jnp.ndarray,          # [V, 3]
+    R_pseudo: jnp.ndarray,         # [B, 3, 3]
+    t_pseudo: jnp.ndarray,         # [B, 3]
+    consistency_view_thresh: int = 2,
+    error_range: float = 0.05,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched :func:`reproject_fused_depth` over B pseudo cameras.
+
+    On TPU (or under ``interpret``) the z-buffer runs as ONE Pallas
+    displacement-window sweep over all B*V (camera, view) pairs instead of
+    B*V per-row-bound XLA scatters (ops/warp_pallas.py; ~2.5 ms/camera ->
+    sub-ms amortized). Returns (fused [B, H, W], weight [B, H, W],
+    outliers [B]); cameras with ``outliers > 0`` exceeded the kernel's
+    static displacement window and MUST be recomputed via
+    :func:`reproject_fused_depth` (the caller owns that fallback — the
+    trainer does it host-side per prefetch batch)."""
+    use_kernel = interpret or jax.default_backend() == "tpu"
+    if use_kernel:
+        from sdpgs_tpu.ops.warp_pallas import warp_zbuffer_batch
+
+        warped, outl = warp_zbuffer_batch(
+            train_depths, K, R_train, t_train, R_pseudo, t_pseudo,
+            interpret=interpret,
+        )                                              # [B, V, H, W]
+        warped = jax.lax.stop_gradient(warped)
+        fused, w = jax.vmap(
+            lambda wv: _fuse_warped(wv, consistency_view_thresh, error_range)
+        )(warped)
+        return fused, w, outl
+    fused, w = jax.vmap(
+        lambda R, t: reproject_fused_depth(
+            train_depths, K, R_train, t_train, R, t,
+            consistency_view_thresh, error_range,
+        )
+    )(R_pseudo, t_pseudo)
+    return fused, w, jnp.zeros((R_pseudo.shape[0],), jnp.int32)
+
+
 def loss_reproject_from_fused(
     rendered_depth: jnp.ndarray,   # [H, W] rendered depth in the pseudo view
     fused: jnp.ndarray,            # [H, W] from reproject_fused_depth

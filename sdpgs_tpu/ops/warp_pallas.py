@@ -1,0 +1,220 @@
+"""Pallas forward-warp z-buffer (scatter-min) for the reprojection loss.
+
+The reference's pseudo-view consistency loss forward-warps each train view's
+aligned depth into the pseudo view with a z-buffer (torch_scatter
+``scatter_min``, reference utils/loss_utils.py:333-353). The XLA
+``.at[].min`` formulation (losses/depth.py:warp_depth_to_view) is exact but
+PER-ROW bound: ~4.35 ms per 1M scatter rows on v5e — 2.48 ms per pseudo
+camera at 504x378 x 3 train views, ~17x its bandwidth floor (docs/SOL.md).
+
+This kernel removes the scatter entirely with a displacement-window sweep:
+
+  A source pixel (y, x) whose projection rounds to destination (v, u) has
+  integer displacement (dv, du) = (v - y, u - x). For real camera pairs the
+  displacement field is a thin band in (dv, du) space (du and dv are both
+  ~affine in 1/z, so the occupied set hugs a line). The per-pair bounding
+  rectangle [dv_lo..dv_hi] x [du_lo..du_hi] is computed EXACTLY from the
+  data (two cheap reductions), and the kernel sweeps only that rectangle:
+
+    for dy in static [-DY..DY]:          # static lane-offset slices
+      if dv_lo <= dy <= dv_hi:           # predicated off outside the data
+        for du in [du_lo..du_hi]:        # dynamic sublane offsets (while)
+          acc = min(acc, where(code[shift] == pack(dy, du), z[shift], BIG))
+
+  with code = pack(dv, du) per source pixel (-1 on invalid rows). Arrays
+  ride TRANSPOSED ([W, H]: W on sublanes, H on lanes) because the dynamic
+  du shift must land on the sublane dimension (Mosaic has no dynamic lane
+  offsets); the static dy range covers lane offsets.
+
+  Equivalence to scatter-min: every (source -> dest) assignment appears in
+  exactly one swept (dy, du) cell, and min is reassociation-free, so the
+  result is BIT-EXACT vs the scatter (ties: both reduce min over f32
+  values; equal values are indistinguishable).
+
+  Rows whose displacement falls outside the STATIC window (|dv| > DY or
+  |du| > DU) are counted per pair and returned — never silently dropped:
+  the caller falls back to the XLA scatter for those cameras
+  (losses/depth.py:reproject_fused_depth_batch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DY = 24        # static vertical displacement window (|dv| <= DY)
+DU = 96        # static horizontal displacement window (|du| <= DU)
+CW = 256       # code stride: code = (dv + DY) * CW + du + DU
+BIG = 3.0e30   # hole sentinel (Mosaic-safe stand-in for +inf)
+
+
+def _zbuf_kernel(sc_ref, z_ref, code_ref, out_ref, acc_ref, *, W: int,
+                 HL: int):
+    """One grid step = one (camera, view) pair.
+
+    sc_ref: [n_pairs * 4] scalar prefetch — per pair (dv_lo, dv_hi, du_lo,
+    du_hi), already clipped to the static window.
+    z_ref/code_ref: [1, W + 2*DU, Hp] padded transposed depth / packed
+    displacement code (pad: code = -1).
+    out_ref: [1, W, HL] destination z-buffer (BIG = hole), lanes >= H junk.
+    """
+    p = pl.program_id(0)
+    dv_lo = sc_ref[p * 4 + 0]
+    dv_hi = sc_ref[p * 4 + 1]
+    du_lo = sc_ref[p * 4 + 2]
+    du_hi = sc_ref[p * 4 + 3]
+
+    acc_ref[...] = jnp.full((W, HL), BIG, jnp.float32)
+
+    for dy in range(-DY, DY + 1):
+        @pl.when((dv_lo <= dy) & (dy <= dv_hi))
+        def _(dy=dy):
+            # source (w - du, h - dy); padded[DU + w, DY + h] = orig[w, h]
+            lane_lo = DY - dy
+
+            def body(du):
+                zsl = z_ref[0, pl.ds(DU - du, W), pl.ds(lane_lo, HL)]
+                csl = code_ref[0, pl.ds(DU - du, W), pl.ds(lane_lo, HL)]
+                target = (dy + DY) * CW + du + DU
+                acc_ref[...] = jnp.minimum(
+                    acc_ref[...], jnp.where(csl == target, zsl, BIG)
+                )
+                return du + 1
+
+            jax.lax.while_loop(lambda du: du <= du_hi, body, du_lo)
+
+    out_ref[0] = acc_ref[...]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_zbuf_call(n_pairs: int, W: int, H: int, interpret: bool):
+    HL = -(-H // 128) * 128              # dest lane extent
+    Hp = -(-(HL + 2 * DY) // 128) * 128  # padded source lane extent
+    Wp = W + 2 * DU                      # padded source sublane extent
+    assert Wp % 8 == 0, (W, "pad W to a multiple of 8 before the kernel")
+
+    return pl.pallas_call(
+        functools.partial(_zbuf_kernel, W=W, HL=HL),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pairs,),
+            in_specs=[
+                pl.BlockSpec((1, Wp, Hp), lambda p, *_: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Wp, Hp), lambda p, *_: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, W, HL), lambda p, *_: (p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((W, HL), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pairs, W, HL), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def project_rows(depth_ref, K, R_ref, t_ref, R_src, t_src):
+    """Shared projection math of losses.depth.warp_depth_to_view
+    (reference ``tqc_from_depth``, loss_utils.py:26-60): returns flat
+    (u, v, z, valid) for every source pixel."""
+    H, W = depth_ref.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uv1 = jnp.stack(
+        [xs.reshape(-1), ys.reshape(-1), jnp.ones(H * W)], axis=0
+    )
+    proj = (K @ R_src) @ jnp.linalg.inv(K @ R_ref)
+    c = (K @ (t_src - R_src @ R_ref.T @ t_ref))[:, None]
+    x_new = proj @ uv1 * depth_ref.reshape(1, -1) + c
+    z = x_new[2]
+    u = jnp.round(x_new[0] / z).astype(jnp.int32)
+    v = jnp.round(x_new[1] / z).astype(jnp.int32)
+    valid = (
+        (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+        & (depth_ref.reshape(-1) > 0)
+    )
+    return u, v, z, valid
+
+
+def warp_zbuffer_batch(
+    train_depths: jnp.ndarray,    # [V, H, W] source depths (fixed per run)
+    K: jnp.ndarray,               # [3, 3]
+    R_train: jnp.ndarray,         # [V, 3, 3]
+    t_train: jnp.ndarray,         # [V, 3]
+    R_pseudo: jnp.ndarray,        # [B, 3, 3]
+    t_pseudo: jnp.ndarray,        # [B, 3]
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All (pseudo camera, train view) warps in one kernel launch.
+
+    Returns (warped [B, V, H, W] with 0 = hole — bit-exact vs
+    warp_depth_to_view for in-window pairs — and outliers [B] int32: source
+    rows whose displacement exceeds the static (DY, DU) window; callers
+    must recompute those cameras via the XLA scatter path)."""
+    V, H, W = train_depths.shape
+    B = R_pseudo.shape[0]
+    n = B * V
+
+    def one_pair(R_ps, t_ps, depth, R_tr, t_tr):
+        u, v, z, valid = project_rows(depth, K, R_tr, t_tr, R_ps, t_ps)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.int32), jnp.arange(W, dtype=jnp.int32),
+            indexing="ij",
+        )
+        du = u - xs.reshape(-1)
+        dv = v - ys.reshape(-1)
+        in_win = (jnp.abs(du) <= DU) & (jnp.abs(dv) <= DY)
+        ok = valid & in_win
+        outl = jnp.sum(valid & ~in_win).astype(jnp.int32)
+        code = jnp.where(ok, (dv + DY) * CW + du + DU, -1)
+        big = jnp.int32(1 << 20)
+        bounds = jnp.stack([
+            jnp.min(jnp.where(ok, dv, big)).astype(jnp.int32),
+            jnp.max(jnp.where(ok, dv, -big)).astype(jnp.int32),
+            jnp.min(jnp.where(ok, du, big)).astype(jnp.int32),
+            jnp.max(jnp.where(ok, du, -big)).astype(jnp.int32),
+        ])
+        # empty pair (no valid rows): make the sweep a no-op
+        bounds = jnp.where(
+            jnp.any(ok),
+            jnp.clip(bounds, jnp.array([-DY, -DY, -DU, -DU]),
+                     jnp.array([DY, DY, DU, DU])),
+            jnp.array([1, 0, 1, 0], jnp.int32),
+        )
+        zmap = jnp.where(ok, z, BIG).reshape(H, W)
+        cmap = code.reshape(H, W)
+        return zmap, cmap, bounds, outl
+
+    # [B, V, ...] pair grids
+    zmaps, cmaps, bounds, outl = jax.vmap(
+        lambda R_ps, t_ps: jax.vmap(
+            lambda d, R_tr, t_tr: one_pair(R_ps, t_ps, d, R_tr, t_tr)
+        )(train_depths, R_train, t_train)
+    )(R_pseudo, t_pseudo)
+
+    HL = -(-H // 128) * 128
+    Hp = -(-(HL + 2 * DY) // 128) * 128
+    Wpad = (-W) % 8
+    Wk = W + Wpad
+    Wp = Wk + 2 * DU
+
+    def to_kernel(a, pad_value):
+        a = a.reshape(n, H, W).transpose(0, 2, 1)       # [n, W, H]
+        return jnp.pad(
+            a, ((0, 0), (DU, DU + Wpad), (DY, Hp - H - DY)),
+            constant_values=pad_value,
+        )
+
+    zk = to_kernel(zmaps, BIG)
+    ck = to_kernel(cmaps, -1)
+    call = _make_zbuf_call(n, Wk, H, interpret)
+    out = call(bounds.reshape(-1), zk, ck)              # [n, Wk, HL]
+    zbuf = out[:, :W, :H].transpose(0, 2, 1).reshape(B, V, H, W)
+    zbuf = jnp.where(zbuf >= BIG * 0.5, 0.0, zbuf)
+    return zbuf, jnp.sum(outl.reshape(B, V), axis=1)

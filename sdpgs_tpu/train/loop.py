@@ -139,6 +139,7 @@ class Trainer:
         self._batch_cache: Dict[tuple, ViewBatch] = {}
         self._reproj_queue: list = []
         self._reproj_fn = None
+        self._reproj_fallback = None
         # static pseudo-branch inputs
         tc = self.scene.train_cameras
         self._train_depths = jnp.asarray(np.stack(
@@ -221,26 +222,44 @@ class Trainer:
         Pseudo cameras are sampled without replacement from ~10k generated
         poses (reference pose_utils), so per-camera caching would get zero
         hits and grow unbounded; instead the warps for the next
-        REPROJ_PREFETCH sampled cameras are computed in ONE vmapped call
+        REPROJ_PREFETCH sampled cameras are computed in ONE batched call
         (per-call dispatch dominates a single ~2 ms warp on the remote
-        chip) and held in a bounded queue (~B x 3 MB device memory)."""
+        chip) and held in a bounded queue (~B x 3 MB device memory).
+
+        On TPU the z-buffer runs as one Pallas displacement-window sweep
+        over all B*V pairs (ops/warp_pallas.py) instead of B*V per-row
+        XLA scatter-mins; cameras whose displacements exceed the kernel's
+        static window are detected (outliers > 0) and recomputed exactly
+        through the scatter path here."""
         if not self._reproj_queue:
             idxs = [self._next_pseudo() for _ in range(self.REPROJ_PREFETCH)]
             cams = [self.scene.pseudo_camera(i)[0] for i in idxs]
             R = jnp.stack([c.view[:3, :3] for c in cams])
             t = jnp.stack([c.view[:3, 3] for c in cams])
             if self._reproj_fn is None:
-                from sdpgs_tpu.losses import reproject_fused_depth
+                from sdpgs_tpu.losses import reproject_fused_depth_batch
 
-                self._reproj_fn = jax.jit(jax.vmap(
-                    reproject_fused_depth, in_axes=(None, None, None, None, 0, 0)
-                ))
-            fused, weight = self._reproj_fn(
+                self._reproj_fn = jax.jit(reproject_fused_depth_batch)
+            fused, weight, outl = self._reproj_fn(
                 self._train_depths, self._K, self._R_train, self._t_train,
                 R, t,
             )
+            bad = np.flatnonzero(np.asarray(jax.device_get(outl)) > 0)
+            if bad.size:
+                from sdpgs_tpu.losses import reproject_fused_depth
+
+                if self._reproj_fallback is None:
+                    self._reproj_fallback = jax.jit(reproject_fused_depth)
+                fused, weight = np.asarray(fused), np.asarray(weight)
+                for j in bad:
+                    f, w = self._reproj_fallback(
+                        self._train_depths, self._K, self._R_train,
+                        self._t_train, R[j], t[j],
+                    )
+                    fused[j], weight[j] = np.asarray(f), np.asarray(w)
             self._reproj_queue = [
-                (c, fused[j], weight[j]) for j, c in enumerate(cams)
+                (c, jnp.asarray(fused[j]), jnp.asarray(weight[j]))
+                for j, c in enumerate(cams)
             ]
         return self._reproj_queue.pop(0)
 

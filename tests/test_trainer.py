@@ -124,13 +124,24 @@ def test_block_slot_escalation_policy():
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(73)
-    assert not t.cfg.raster.rank_block_grouped      # grouped -> flat
+    # every grouped drop is a pooled-tail drop at S >= 512: the tail rung
+    # grows FIRST (S//4 -> S//2), keeping the grouped readout
+    assert t.cfg.raster.rank_block_grouped
+    assert t.cfg.raster.rank_block_tail == 256
     assert t.cfg.raster.rank_block_slots == 512
     assert not t._steps  # step cache cleared -> recompile with new config
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(50)
+    assert t.cfg.raster.rank_block_tail == 512      # tail -> S
+    assert t.cfg.raster.rank_block_grouped
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(90)
-    assert t.cfg.raster.rank_block_slots == 1024    # flat S=512 -> 1024
+    # tail at S (2S total rows): jump straight to flat 2S
+    assert not t.cfg.raster.rank_block_grouped
+    assert t.cfg.raster.rank_block_tail == 0
+    assert t.cfg.raster.rank_block_slots == 1024
     assert not t._steps
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
@@ -315,4 +326,4 @@ def test_slab_drops_grow_slack_alone():
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t2._maybe_grow_block_slots(50)
     assert t2.cfg.raster.grad_window_slack == s0
-    assert not t2.cfg.raster.rank_block_grouped   # grouped -> flat moved
+    assert t2.cfg.raster.rank_block_tail == 256   # the tail rung moved
