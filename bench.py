@@ -107,7 +107,7 @@ def _make_pseudo(rng, cams):
     # sampled at most once, so there is no reuse to cache). The bench
     # measures that batched precompute and charges the per-camera share to
     # every pseudo step (returned as ``reproj_per_cam_s``).
-    from sdpgs_tpu.losses import reproject_fused_depth
+    from sdpgs_tpu.losses import reproject_fused_depth_batch
 
     K = cams[0].intrinsics_matrix()
     R_train = jnp.stack([c.view[:3, :3] for c in cams])
@@ -120,13 +120,14 @@ def _make_pseudo(rng, cams):
         np.stack([[0.05 * np.cos(a), 0.05 * np.sin(a), 0.0] for a in angles]),
         jnp.float32,
     )
-    batched = jax.jit(jax.vmap(
-        reproject_fused_depth, in_axes=(None, None, None, None, 0, 0)
-    ))
-    fused_b, weight_b = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
+    # r5: the Pallas displacement-window z-buffer replaces B*V XLA
+    # scatter-mins (ops/warp_pallas.py; the trainer prefetch uses the same
+    # entry point, with outlier-triggered fallback to the scatter)
+    batched = jax.jit(reproject_fused_depth_batch)
+    fused_b, weight_b, _ = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
     jax.block_until_ready(fused_b)
     t0 = time.perf_counter()
-    fused_b, weight_b = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
+    fused_b, weight_b, _ = batched(train_depths, K, R_train, t_train, R_ps, t_ps)
     jax.block_until_ready(fused_b)
     reproj_per_cam_s = (time.perf_counter() - t0) / B
     fused, weight = fused_b[0], weight_b[0]

@@ -239,7 +239,11 @@ def reproject_fused_depth_batch(
     static displacement window and MUST be recomputed via
     :func:`reproject_fused_depth` (the caller owns that fallback — the
     trainer does it host-side per prefetch batch)."""
-    use_kernel = interpret or jax.default_backend() == "tpu"
+    import os
+
+    use_kernel = (interpret or jax.default_backend() == "tpu") and (
+        os.environ.get("SDPGS_WARP_KERNEL", "") not in ("0", "off")
+    )
     if use_kernel:
         from sdpgs_tpu.ops.warp_pallas import warp_zbuffer_batch
 

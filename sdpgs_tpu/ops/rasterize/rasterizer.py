@@ -98,13 +98,20 @@ def rasterize_tiles(
     scale: Optional[jnp.ndarray] = None,
     quat: Optional[jnp.ndarray] = None,
     tile_range: Optional[tuple[jnp.ndarray, int]] = None,
+    prep: Optional[Preprocessed] = None,
 ) -> tuple[composite_xla.TileOutputs, binning_lib.Binning, Preprocessed]:
     """Preprocess -> bin -> gather -> composite for a (sub)range of tiles.
 
     ``tile_range=(t0, n_local)`` composites only the ``n_local`` tiles
     starting at flat tile id ``t0`` — the per-shard body for
-    tile-partitioned multi-chip rasterization (SURVEY §2.3 item 3)."""
-    if scale is not None:
+    tile-partitioned multi-chip rasterization (SURVEY §2.3 item 3).
+
+    ``prep``: precomputed screen-space quantities (the fused Pallas
+    preprocess+SH kernel, preprocess_pallas.py) — skips the XLA preprocess
+    here."""
+    if prep is not None:
+        pass
+    elif scale is not None:
         prep = preprocess_fused(
             xyz, scale, quat, cam, alive, near=cfg.near, low_pass=cfg.low_pass
         )
@@ -209,6 +216,7 @@ def rasterize(
     feature_weight: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
     quat: Optional[jnp.ndarray] = None,
+    prep: Optional[Preprocessed] = None,
 ) -> RenderOutput:
     """Differentiable render of one view.
 
@@ -229,7 +237,7 @@ def rasterize(
     out, bins, prep, slab = rasterize_tiles(
         xyz, cov3d, opacity, color, feature, alive, cam, cfg,
         means2d_offset=means2d_offset, feature_weight=feature_weight,
-        scale=scale, quat=quat,
+        scale=scale, quat=quat, prep=prep,
     )
     tiles_x, tiles_y = binning_lib.tile_grid(cam.width, cam.height, cfg.tile)
     H, W = cam.height, cam.width

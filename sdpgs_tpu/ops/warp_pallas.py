@@ -70,18 +70,31 @@ def _zbuf_kernel(sc_ref, z_ref, code_ref, out_ref, acc_ref, *, W: int,
 
     acc_ref[...] = jnp.full((W, HL), BIG, jnp.float32)
 
+    # Shifted reads are expressed as pltpu.roll of whole VMEM-resident
+    # slabs: Mosaic rejects dynamic slice offsets it cannot prove
+    # (8|sublane, 128|lane), while dynamic rotates are native. The padding
+    # geometry guarantees no wrapped element is ever a valid source
+    # (sublane: w + DU - du in [0, Wp); lane: h + DY - dy < Hp).
+    fz = z_ref[0]                                       # [Wp, Hp]
+    fc = code_ref[0]
+
     for dy in range(-DY, DY + 1):
         @pl.when((dv_lo <= dy) & (dy <= dv_hi))
         def _(dy=dy):
-            # source (w - du, h - dy); padded[DU + w, DY + h] = orig[w, h]
-            lane_lo = DY - dy
+            # dest (w, h) reads source (w - du, h - dy);
+            # padded[DU + w, DY + h] = orig[w, h]
+            ll = DY - dy                    # static lane shift (roll is
+            Hp = fz.shape[1]                # modular; shifts must be >= 0)
+            sz = pltpu.roll(fz, Hp - ll, axis=1)[:, :HL]
+            sc = pltpu.roll(fc, Hp - ll, axis=1)[:, :HL]
+            Wp = fz.shape[0]
 
             def body(du):
-                zsl = z_ref[0, pl.ds(DU - du, W), pl.ds(lane_lo, HL)]
-                csl = code_ref[0, pl.ds(DU - du, W), pl.ds(lane_lo, HL)]
+                rz = pltpu.roll(sz, du + (Wp - DU), axis=0)[:W]
+                rc = pltpu.roll(sc, du + (Wp - DU), axis=0)[:W]
                 target = (dy + DY) * CW + du + DU
                 acc_ref[...] = jnp.minimum(
-                    acc_ref[...], jnp.where(csl == target, zsl, BIG)
+                    acc_ref[...], jnp.where(rc == target, rz, BIG)
                 )
                 return du + 1
 

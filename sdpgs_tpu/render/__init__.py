@@ -33,11 +33,29 @@ def render(
     """Render one view: SH -> RGB (python-side, the reference default
     ``convert_SHs_python=True``), degree-0 normalized language feature,
     extended rasterize."""
-    color = (
-        override_color
-        if override_color is not None
-        else g.colors_from_sh(cam.cam_pos, active_sh_degree)
+    from sdpgs_tpu.ops.rasterize.preprocess_pallas import (
+        preprocess_color_applicable,
+        preprocess_color_pallas,
     )
+
+    scale = g.get_scaling() * scaling_modifier
+    quat = g.get_rotation()
+    prep = None
+    if override_color is None and preprocess_color_applicable(g.capacity, cfg):
+        # fused Pallas preprocess + SH (preprocess_pallas.py): one
+        # VMEM-resident pass instead of ~100 short XLA loops (1.24 ms ->
+        # sub-0.3 at 131k; the pseudo step pays it twice)
+        prep, color = preprocess_color_pallas(
+            g.xyz, scale, quat, g.get_features(), g.alive, cam,
+            active_sh_degree, near=cfg.near, low_pass=cfg.low_pass,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        color = (
+            override_color
+            if override_color is not None
+            else g.colors_from_sh(cam.cam_pos, active_sh_degree)
+        )
     feature = (
         override_language
         if override_language is not None
@@ -55,8 +73,9 @@ def render(
         cfg,
         means2d_offset=means2d_offset,
         feature_weight=confidence[:, 0] if confidence is not None else None,
-        scale=g.get_scaling() * scaling_modifier,
-        quat=g.get_rotation(),
+        scale=scale,
+        quat=quat,
+        prep=prep,
     )
 
 
