@@ -46,8 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DY = 24        # static vertical displacement window (|dv| <= DY)
-DU = 96        # static horizontal displacement window (|du| <= DU)
+DY = 32        # static vertical displacement window (|dv| <= DY)
+DU = 128       # static horizontal displacement window (|du| <= DU)
 CW = 256       # code stride: code = (dv + DY) * CW + du + DU
 BIG = 3.0e30   # hole sentinel (Mosaic-safe stand-in for +inf)
 

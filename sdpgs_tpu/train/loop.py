@@ -250,7 +250,7 @@ class Trainer:
 
                 if self._reproj_fallback is None:
                     self._reproj_fallback = jax.jit(reproject_fused_depth)
-                fused, weight = np.asarray(fused), np.asarray(weight)
+                fused, weight = np.array(fused), np.array(weight)
                 for j in bad:
                     f, w = self._reproj_fallback(
                         self._train_depths, self._K, self._R_train,
