@@ -127,6 +127,11 @@ def _make_zbuf_call(n_pairs: int, W: int, H: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((n_pairs, W, HL), jnp.float32),
         interpret=interpret,
+        # two padded slabs + rolled copies sit right at the conservative
+        # 16M scoped default once DY/DU widened; v5e has 128M VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )
 
 
