@@ -76,8 +76,12 @@ class RasterizeConfig:
                                     # worse at 1M-row destinations than at
                                     # 131k (measured, perf_r4_scatter.py);
                                     # below ~1M rows the plain scatter wins.
-    grad_window_bits: int = 17      # log2 destinations per window (Pw);
+    grad_window_bits: int = 14      # log2 destinations per window (Pw);
                                     # capacity must be divisible by Pw.
+                                    # 2^14 gives nw=64 at the 1M scene
+                                    # (~7 ms cheaper than the r4 nw=8) and
+                                    # nw=8 at bench capacity — the r5 sweep
+                                    # found smaller windows strictly >= .
     grad_window_slack: float = 0.85  # per-window slab capacity = slack *
                                     # mean rows/window (128-aligned); rows
                                     # past the cap are counted in overflow

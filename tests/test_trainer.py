@@ -137,8 +137,13 @@ def test_block_slot_escalation_policy():
     assert t.cfg.raster.rank_block_grouped
     t._steps = {"dummy": object()}
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        t._maybe_grow_block_slots(70)
+    assert t.cfg.raster.rank_block_tail == 1024     # tail -> 2S ceiling
+    assert t.cfg.raster.rank_block_grouped
+    t._steps = {"dummy": object()}
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
         t._maybe_grow_block_slots(90)
-    # tail at S (2S total rows): jump straight to flat 2S
+    # tail at ceiling (2.5S total rows): jump straight to flat 2S
     assert not t.cfg.raster.rank_block_grouped
     assert t.cfg.raster.rank_block_tail == 0
     assert t.cfg.raster.rank_block_slots == 1024
