@@ -6,9 +6,9 @@ materialized intermediates — measured 1.24 ms forward at 131k capacity
 (~30x its ~0.04 ms bandwidth floor, docs/SOL.md) and it runs TWICE per
 pseudo step (train + pseudo render). Here the whole chain — world->view,
 projection, quaternion->cov3D->EWA->conic->radius, culling, SH degree 0..3
-with the +0.5 clamp — runs as ONE VMEM-resident pass per 16k-Gaussian
-block, inputs and outputs TRANSPOSED so the Gaussian axis rides the 128
-lanes.
+with the +0.5 clamp — runs as ONE VMEM-resident pass per 32k-Gaussian
+block, rows reshaped [rows, 8, P/8] so every op covers the full 8x128 VPU
+footprint (a 1-D [N] vector occupies one sublane = 1/8 throughput).
 
 The backward is a SECOND Pallas kernel whose body simply calls
 ``jax.vjp(_row_math, ...)`` on the VMEM-resident rows: JAX traces the exact

@@ -16,15 +16,17 @@ This kernel removes the scatter entirely with a displacement-window sweep:
   rectangle [dv_lo..dv_hi] x [du_lo..du_hi] is computed EXACTLY from the
   data (two cheap reductions), and the kernel sweeps only that rectangle:
 
-    for dy in static [-DY..DY]:          # static lane-offset slices
+    for dy in static [-DY..DY]:          # static lane shifts (pltpu.roll)
       if dv_lo <= dy <= dv_hi:           # predicated off outside the data
-        for du in [du_lo..du_hi]:        # dynamic sublane offsets (while)
+        for du in [du_lo..du_hi]:        # dynamic sublane rolls (while)
           acc = min(acc, where(code[shift] == pack(dy, du), z[shift], BIG))
 
-  with code = pack(dv, du) per source pixel (-1 on invalid rows). Arrays
-  ride TRANSPOSED ([W, H]: W on sublanes, H on lanes) because the dynamic
-  du shift must land on the sublane dimension (Mosaic has no dynamic lane
-  offsets); the static dy range covers lane offsets.
+  with code = pack(dv, du) per source pixel (-1 on invalid rows). Shifted
+  reads are whole-slab ``pltpu.roll``s of TRANSPOSED arrays ([W, H]: W on
+  sublanes, H on lanes): Mosaic rejects dynamic slice offsets it cannot
+  prove (8 | sublane, 128 | lane) while dynamic rotates are native, and
+  the padding geometry guarantees no wrapped element is ever a valid
+  source.
 
   Equivalence to scatter-min: every (source -> dest) assignment appears in
   exactly one swept (dy, du) cell, and min is reassociation-free, so the
