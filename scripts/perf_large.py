@@ -69,6 +69,11 @@ def main():
         ("K=2048 S=512 grouped + grad-window",
          dict(max_per_tile=2048, rank_block_slots=512,
               rank_block_gaussians=2048, tiles_per_kernel_step=4)),
+        # r5 best drop-free: grouped with the enlarged pooled tail
+        # (rank_block_tail; 169.7 ms overflow=0 measured perf_r5_large2)
+        ("K=2048 S=512 grp tail=768 + grad-window",
+         dict(max_per_tile=2048, rank_block_slots=512, rank_block_tail=768,
+              rank_block_gaussians=2048, tiles_per_kernel_step=4)),
         ("K=2048 uncompacted, grad-window OFF",
          dict(max_per_tile=2048, rank_block_slots=0,
               rank_block_gaussians=2048, tiles_per_kernel_step=4,
